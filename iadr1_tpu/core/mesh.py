@@ -1,0 +1,138 @@
+"""Device mesh construction and logical-axis sharding.
+
+The parallelism menu (SURVEY.md section 2.4): the reference runs DP (DDP) +
+ZeRO-3 sharded DP for training and Megatron TP inside vLLM for inference.
+Here all of it is one mesh with three named axes:
+
+* ``dp``   -- pure data parallelism (batch split, params replicated)
+* ``fsdp`` -- ZeRO-3 analogue: batch split AND params/optimizer sharded
+* ``tp``   -- tensor parallelism for >=7B models and rollout
+
+Parameters carry *logical* axis names (e.g. ``("embed", "mlp")``); a rule
+table maps logical names to mesh axes.  ``jit`` + ``NamedSharding`` then
+inserts all-gathers / reduce-scatters over ICI automatically -- the XLA
+replacement for DeepSpeed's gather/partition machinery
+(scripts/train/zero3.json in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MESH_AXES = ("dp", "fsdp", "tp")
+
+# Default logical-axis -> mesh-axis rules.  "embed"-sharded over fsdp gives
+# the ZeRO-3 analogue; vocab/mlp/heads over tp gives Megatron-style TP.
+DEFAULT_RULES: dict[str, str | None] = {
+    "batch": "dp",          # leading batch dim of activations
+    "fsdp_batch": "fsdp",   # batch dims may also split over fsdp
+    "embed": "fsdp",        # param hidden dim -> ZeRO-3 style shard
+    "vocab": "tp",
+    "mlp": "tp",
+    "heads": "tp",
+    "kv_heads": "tp",
+    "qkv": "tp",
+    "seq": None,            # sequence axis unsharded (no CP in the recipe)
+    "head_dim": None,
+    "patch": None,
+    "norm": None,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Sizes of the three mesh axes; -1 on at most one axis means "fill"."""
+
+    dp: int = 1
+    fsdp: int = -1
+    tp: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+        sizes = [self.dp, self.fsdp, self.tp]
+        fill = [i for i, s in enumerate(sizes) if s == -1]
+        if len(fill) > 1:
+            raise ValueError("at most one mesh axis may be -1")
+        if fill:
+            known = int(np.prod([s for s in sizes if s != -1]))
+            if n_devices % known:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by fixed axes {known}"
+                )
+            sizes[fill[0]] = n_devices // known
+        if int(np.prod(sizes)) != n_devices:
+            raise ValueError(
+                f"mesh {tuple(sizes)} does not cover {n_devices} devices"
+            )
+        return tuple(sizes)
+
+
+def build_mesh(
+    config: MeshConfig | None = None, devices: Sequence[jax.Device] | None = None
+) -> Mesh:
+    """Build the (dp, fsdp, tp) mesh over the given (default: all) devices.
+
+    Axis order matters for ICI locality: tp innermost so tensor-parallel
+    collectives ride the fastest links, dp outermost.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    config = config or MeshConfig()
+    shape = config.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def logical_to_mesh_axes(
+    logical: Sequence[str | None], rules: Mapping[str, str | None] | None = None
+) -> P:
+    """Translate a tuple of logical axis names to a PartitionSpec."""
+    rules = rules or DEFAULT_RULES
+    mesh_axes = []
+    for name in logical:
+        if name is None:
+            mesh_axes.append(None)
+        else:
+            if name not in rules:
+                raise KeyError(f"no sharding rule for logical axis {name!r}")
+            mesh_axes.append(rules[name])
+    return P(*mesh_axes)
+
+
+def named_sharding(
+    mesh: Mesh,
+    logical: Sequence[str | None],
+    rules: Mapping[str, str | None] | None = None,
+) -> NamedSharding:
+    return NamedSharding(mesh, logical_to_mesh_axes(logical, rules))
+
+
+def shard_pytree(
+    tree: Any,
+    logical_tree: Any,
+    mesh: Mesh,
+    rules: Mapping[str, str | None] | None = None,
+) -> Any:
+    """Device-put every leaf of ``tree`` with the sharding derived from the
+    parallel ``logical_tree`` of logical-axis tuples."""
+    shardings = jax.tree.map(
+        lambda logical: named_sharding(mesh, logical, rules),
+        logical_tree,
+        is_leaf=lambda x: isinstance(x, tuple),
+    )
+    return jax.device_put(tree, shardings)
+
+
+def pytree_shardings(
+    logical_tree: Any, mesh: Mesh, rules: Mapping[str, str | None] | None = None
+) -> Any:
+    """NamedSharding pytree (for jit in_shardings/out_shardings) from a
+    logical-axis pytree."""
+    return jax.tree.map(
+        lambda logical: named_sharding(mesh, logical, rules),
+        logical_tree,
+        is_leaf=lambda x: isinstance(x, tuple),
+    )

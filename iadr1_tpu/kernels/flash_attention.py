@@ -1,0 +1,451 @@
+"""Flash attention for TPU in Pallas: fused, tiled, online-softmax attention.
+
+This is the TPU-native replacement for the reference's flash-attn CUDA
+dependency (used via --attn_implementation flash_attention_2 in all training
+scripts; llamafactory/model_utils/attention.py:63-68) including its varlen/
+packing path (model_utils/packing.py:88-123): packed sequences are expressed
+as segment ids and masked inside the kernel instead of monkey-patched
+cu_seqlens.
+
+Design (see docs/kernels.md):
+* grid (batch, q_heads, q_blocks, kv_blocks), kv innermost ("arbitrary"),
+  everything else "parallel"; online-softmax stats live in VMEM scratch and
+  persist across the kv loop.
+* GQA maps q head h to kv head h // group inside the BlockSpec index maps --
+  no repeated K/V materialization in HBM.
+* causal masking skips entire kv tiles above the diagonal.
+* backward = two kernels (dq; dkv) that recompute attention probabilities
+  from the saved logsumexp, plus a di = rowsum(o * do) precompute.
+* custom_vjp so the same entry point trains and serves.
+
+All softmax statistics are float32; masked logits use -0.7*f32max (never
+-inf) to avoid NaN propagation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LANES = 128
+
+
+class BlockSizes(NamedTuple):
+    block_q: int = 128
+    block_k: int = 128
+    block_q_dkv: int = 128
+    block_k_dkv: int = 128
+    block_q_dq: int = 128
+    block_k_dq: int = 128
+
+
+def _tile_mask(
+    q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal: bool
+):
+    """Elementwise [block_q, block_k] boolean mask for one tile pair."""
+    mask = None
+    if causal:
+        rows = q_idx * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        cols = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = cols <= rows
+    if q_seg is not None:
+        seg = (q_seg[:, None] == kv_seg[None, :]) & (kv_seg[None, :] != 0)
+        mask = seg if mask is None else (mask & seg)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, q_seg_ref, kv_seg_ref,
+    o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, causal: bool, num_kv_blocks: int,
+):
+    q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
+    block_q, head_dim = q_ref.shape[2], q_ref.shape[3]
+    block_k = k_ref.shape[2]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # Skip kv tiles entirely above the causal diagonal.
+    should_run = True
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]  # [block_q, d]
+        k = k_ref[0, 0]  # [block_k, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= scale
+
+        q_seg = q_seg_ref[0] if q_seg_ref is not None else None
+        kv_seg = kv_seg_ref[0] if kv_seg_ref is not None else None
+        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]          # [block_q, LANES]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1)[:, None]                 # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)                 # broadcast to LANES
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                       # [block_q, block_k]
+        l_corr = alpha * l_prev
+        l_next = l_corr + jnp.sum(p, axis=1)[:, None]
+
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[0, 0]  # [block_k, d]
+        o_curr = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        m = m_scratch[:, :1]
+        lse = jnp.where(l == 0.0, jnp.inf, m + jnp.log(l))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _fwd(
+    q, k, v, q_segment_ids, kv_segment_ids,
+    *, scale, causal, blocks: BlockSizes, interpret=False,
+):
+    B, H, T, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    group = H // Hkv
+    bq, bk = min(blocks.block_q, T), min(blocks.block_k, S)
+    nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
+        pl.BlockSpec((1, bq), lambda b, h, q_, kv: (b, q_)),
+        pl.BlockSpec((1, bk), lambda b, h, q_, kv: (b, kv)),
+    ]
+    args = [q, k, v, q_segment_ids, kv_segment_ids]
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, causal=causal, num_kv_blocks=nkv
+        ),
+        grid=(B, H, nq, nkv),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+            pl.BlockSpec((1, 1, bq, LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, q_seg_ref, kv_seg_ref,
+    dq_ref,
+    dq_scratch,
+    *, scale: float, causal: bool, num_kv_blocks: int,
+):
+    q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
+    block_q = q_ref.shape[2]
+    block_k = k_ref.shape[2]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    should_run = True
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]   # [block_q, 1]
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_seg = q_seg_ref[0] if q_seg_ref is not None else None
+        kv_seg = kv_seg_ref[0] if kv_seg_ref is not None else None
+        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+
+        p = jnp.exp(s - lse)                                   # [bq, bk]
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * scale
+        dq_scratch[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, q_seg_ref, kv_seg_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, scale: float, causal: bool, num_q_blocks: int,
+):
+    # grid: (batch, q_head, kv_block, q_block) -- q innermost.
+    kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
+    block_q = q_ref.shape[2]
+    block_k = k_ref.shape[2]
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    should_run = True
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_seg = q_seg_ref[0] if q_seg_ref is not None else None
+        kv_seg = kv_seg_ref[0] if kv_seg_ref is not None else None
+        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+
+        p = jnp.exp(s - lse)                                     # [bq, bk]
+        dv_scratch[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * scale                               # [bq, bk]
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _bwd(
+    q, k, v, q_segment_ids, kv_segment_ids, out, lse, do,
+    *, scale, causal, blocks: BlockSizes, interpret=False,
+):
+    B, H, T, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    group = H // Hkv
+
+    di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (B, H, T, LANES))
+
+    # --- dq ---------------------------------------------------------------
+    bq, bk = min(blocks.block_q_dq, T), min(blocks.block_k_dq, S)
+    nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, bq), lambda b, h, q_, kv: (b, q_)),
+        pl.BlockSpec((1, bk), lambda b, h, q_, kv: (b, kv)),
+    ]
+    args = [q, k, v, do, lse, di, q_segment_ids, kv_segment_ids]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal, num_kv_blocks=nkv
+        ),
+        grid=(B, H, nq, nkv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    # --- dk/dv (per q-head, reduced over GQA groups afterwards) ------------
+    bq, bk = min(blocks.block_q_dkv, T), min(blocks.block_k_dkv, S)
+    nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, kv, q_: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h // group, kv, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h // group, kv, 0)),
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, kv, q_: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, kv, q_: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, kv, q_: (b, h, q_, 0)),
+        pl.BlockSpec((1, bq), lambda b, h, kv, q_: (b, q_)),
+        pl.BlockSpec((1, bk), lambda b, h, kv, q_: (b, kv)),
+    ]
+    args = [q, k, v, do, lse, di, q_segment_ids, kv_segment_ids]
+
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal, num_q_blocks=nq
+        ),
+        grid=(B, H, nkv, nq),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h, kv, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h, kv, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, S, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+
+    if group > 1:
+        dk = dk_h.reshape(B, Hkv, group, S, D).sum(axis=2)
+        dv = dv_h.reshape(B, Hkv, group, S, D).sum(axis=2)
+    else:
+        dk, dv = dk_h, dv_h
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# public entry point with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _flash(q, k, v, q_segment_ids, kv_segment_ids, scale, causal, blocks, interpret):
+    out, _ = _fwd(
+        q, k, v, q_segment_ids, kv_segment_ids,
+        scale=scale, causal=causal, blocks=blocks, interpret=interpret,
+    )
+    return out
+
+
+def _flash_fwd(q, k, v, q_segment_ids, kv_segment_ids, scale, causal, blocks, interpret):
+    out, lse = _fwd(
+        q, k, v, q_segment_ids, kv_segment_ids,
+        scale=scale, causal=causal, blocks=blocks, interpret=interpret,
+    )
+    return out, (q, k, v, q_segment_ids, kv_segment_ids, out, lse)
+
+
+def _flash_bwd(scale, causal, blocks, interpret, residuals, do):
+    q, k, v, q_segment_ids, kv_segment_ids, out, lse = residuals
+    dq, dk, dv = _bwd(
+        q, k, v, q_segment_ids, kv_segment_ids, out, lse, do,
+        scale=scale, causal=causal, blocks=blocks, interpret=interpret,
+    )
+    return dq, dk, dv, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
+    causal: bool = True,
+    scale: float | None = None,
+    blocks: BlockSizes | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention: q [B,H,T,D], k/v [B,Hkv,S,D] -> [B,H,T,D].
+
+    ``segment_ids`` [B,T] (and ``kv_segment_ids`` [B,S], defaulting to the
+    same array for self-attention) enable packed-sequence masking; id 0 is
+    padding.  Differentiable via a custom VJP (Pallas backward kernels).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if segment_ids is None:
+        segment_ids = jnp.ones((q.shape[0], q.shape[2]), jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = (
+            segment_ids
+            if k.shape[2] == q.shape[2]
+            else jnp.ones((k.shape[0], k.shape[2]), jnp.int32)
+        )
+    blocks = blocks or BlockSizes()
+    return _flash(
+        q, k, v, segment_ids, kv_segment_ids, scale, causal, blocks, interpret
+    )

@@ -1,0 +1,307 @@
+"""Qwen2 decoder: the language model behind Qwen2-VL, Qwen2.5-VL and
+LLaVA-OneVision (which pairs a SigLIP tower with a Qwen2 LLM).
+
+Functional, scan-over-layers, KV-cache-ready.  Weight semantics match HF
+``Qwen2ForCausalLM`` / the text model inside ``Qwen2VLForConditionalGeneration``
+(the reference loads these via AutoModelForVision2Seq,
+train/stage_sft/llamafactory/model/loader.py:186-189); parity is enforced by
+tests against the HF implementation on random tiny configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from iadr1_tpu.core.precision import Precision, DEFAULT_PRECISION
+from iadr1_tpu.models import common
+from iadr1_tpu.models.common import (
+    apply_rope,
+    dense,
+    make_attention_mask,
+    mrope_cos_sin,
+    rms_norm,
+    rope_cos_sin,
+    swiglu,
+    xla_attention,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1536
+    intermediate_size: int = 8960
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 12
+    num_key_value_heads: int = 2
+    head_dim: int | None = None
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    max_position_embeddings: int = 32768
+    tie_word_embeddings: bool = False
+    attention_bias: bool = True          # qwen2 uses qkv biases
+    mrope_section: tuple[int, ...] | None = None  # set for Qwen2-VL text model
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: Qwen2Config, dtype=jnp.float32) -> dict:
+    """Random init with HF-compatible structure; layers stacked on axis 0."""
+    keys = jax.random.split(key, 8)
+    L = cfg.num_hidden_layers
+    H, D = cfg.num_attention_heads, cfg.head_dim_
+    Hkv = cfg.num_key_value_heads
+    hid, mlp = cfg.hidden_size, cfg.intermediate_size
+
+    def stack_dense(k, i, o):
+        ks = jax.random.split(k, L)
+        return jnp.stack([common.dense_init(kk, i, o, dtype) for kk in ks])
+
+    params = {
+        "embed": {"weight": common.embed_init(keys[0], cfg.vocab_size, hid, dtype)},
+        "layers": {
+            "input_norm": jnp.ones((L, hid), dtype),
+            "post_attn_norm": jnp.ones((L, hid), dtype),
+            "attn": {
+                "q": {"kernel": stack_dense(keys[1], hid, H * D)},
+                "k": {"kernel": stack_dense(keys[2], hid, Hkv * D)},
+                "v": {"kernel": stack_dense(keys[3], hid, Hkv * D)},
+                "o": {"kernel": stack_dense(keys[4], H * D, hid)},
+            },
+            "mlp": {
+                "gate": {"kernel": stack_dense(keys[5], hid, mlp)},
+                "up": {"kernel": stack_dense(keys[6], hid, mlp)},
+                "down": {"kernel": stack_dense(keys[7], mlp, hid)},
+            },
+        },
+        "final_norm": jnp.ones((hid,), dtype),
+    }
+    if cfg.attention_bias:
+        params["layers"]["attn"]["q"]["bias"] = jnp.zeros((L, H * D), dtype)
+        params["layers"]["attn"]["k"]["bias"] = jnp.zeros((L, Hkv * D), dtype)
+        params["layers"]["attn"]["v"]["bias"] = jnp.zeros((L, Hkv * D), dtype)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {
+            "kernel": common.dense_init(keys[0], hid, cfg.vocab_size, dtype)
+        }
+    return params
+
+
+def logical_axes(cfg: Qwen2Config) -> dict:
+    """Pytree of logical-axis tuples parallel to init_params output.
+
+    Stacked layer leaves carry a leading None (layer axis is never sharded).
+    """
+    axes = {
+        "embed": {"weight": ("vocab", "embed")},
+        "layers": {
+            "input_norm": (None, "norm"),
+            "post_attn_norm": (None, "norm"),
+            "attn": {
+                "q": {"kernel": (None, "embed", "heads")},
+                "k": {"kernel": (None, "embed", "heads")},
+                "v": {"kernel": (None, "embed", "heads")},
+                "o": {"kernel": (None, "heads", "embed")},
+            },
+            "mlp": {
+                "gate": {"kernel": (None, "embed", "mlp")},
+                "up": {"kernel": (None, "embed", "mlp")},
+                "down": {"kernel": (None, "mlp", "embed")},
+            },
+        },
+        "final_norm": ("norm",),
+    }
+    if cfg.attention_bias:
+        axes["layers"]["attn"]["q"]["bias"] = (None, "heads")
+        axes["layers"]["attn"]["k"]["bias"] = (None, "heads")
+        axes["layers"]["attn"]["v"]["bias"] = (None, "heads")
+    if not cfg.tie_word_embeddings:
+        axes["lm_head"] = {"kernel": ("embed", "vocab")}
+    return axes
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
+    """Static-shape KV cache for autoregressive decoding.
+
+    ``positions``/``segment_ids`` describe every cache slot so attention
+    masking is uniform between prefill and decode; ``write_idx`` is the next
+    slot to fill (shared across the batch -- prompts are left-padded, mirroring
+    the reference trainer's left padding, sc_grpo_trainer.py:184-227).
+    """
+    L = cfg.num_hidden_layers
+    Hkv, D = cfg.num_key_value_heads, cfg.head_dim_
+    return {
+        "k": jnp.zeros((L, batch, max_len, Hkv, D), dtype),
+        "v": jnp.zeros((L, batch, max_len, Hkv, D), dtype),
+        "positions": jnp.zeros((batch, max_len), jnp.int32),
+        "segment_ids": jnp.zeros((batch, max_len), jnp.int32),
+        "write_idx": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _layer(
+    cfg: Qwen2Config,
+    h: jax.Array,
+    layer_params: dict,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: jax.Array | None,
+    cache_kv: tuple[jax.Array, jax.Array] | None,
+    write_idx: jax.Array | None,
+    attention_fn: Callable,
+):
+    B, T, _ = h.shape
+    H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    attn_p = layer_params["attn"]
+
+    x = rms_norm(h, layer_params["input_norm"], cfg.rms_norm_eps)
+    q = dense(x, attn_p["q"]["kernel"], attn_p["q"].get("bias"))
+    k = dense(x, attn_p["k"]["kernel"], attn_p["k"].get("bias"))
+    v = dense(x, attn_p["v"]["kernel"], attn_p["v"].get("bias"))
+    q = q.reshape(B, T, H, D)
+    k = k.reshape(B, T, Hkv, D)
+    v = v.reshape(B, T, Hkv, D)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_cache_kv = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), write_idx, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), write_idx, axis=1)
+        new_cache_kv = (ck, cv)
+        k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+
+    attn_out = attention_fn(q, k, v, mask)
+    attn_out = dense(attn_out.reshape(B, T, H * D), attn_p["o"]["kernel"])
+    h = h + attn_out
+
+    x = rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps)
+    mlp_p = layer_params["mlp"]
+    h = h + swiglu(
+        x, mlp_p["gate"]["kernel"], mlp_p["up"]["kernel"], mlp_p["down"]["kernel"]
+    )
+    return h, new_cache_kv
+
+
+def apply(
+    params: dict,
+    cfg: Qwen2Config,
+    input_ids: jax.Array | None = None,
+    *,
+    inputs_embeds: jax.Array | None = None,
+    position_ids: jax.Array,
+    segment_ids: jax.Array | None = None,
+    cache: dict | None = None,
+    precision: Precision = DEFAULT_PRECISION,
+    attention_fn: Callable | None = None,
+    remat: bool = False,
+) -> tuple[jax.Array, dict | None]:
+    """Run the decoder stack; returns (hidden_states [B,T,hid], new_cache).
+
+    ``position_ids``: [B, T] for plain RoPE or [3, B, T] when
+    ``cfg.mrope_section`` is set (M-RoPE).  ``inputs_embeds`` overrides token
+    embedding lookup (used by the VLM wrappers to splice in image features).
+    ``segment_ids``: [B, T] packing segments (0 = padding).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = params["embed"]["weight"][input_ids]
+    h = inputs_embeds.astype(precision.compute_dtype)
+    B, T, _ = h.shape
+
+    if cfg.mrope_section is not None:
+        if position_ids.ndim == 2:  # text-only: broadcast to all 3 axes
+            position_ids = jnp.broadcast_to(position_ids, (3, B, T))
+        cos, sin = mrope_cos_sin(
+            position_ids, cfg.head_dim_, cfg.rope_theta, cfg.mrope_section
+        )
+        flat_positions = position_ids[0]
+    else:
+        cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
+        flat_positions = position_ids
+
+    if segment_ids is None:
+        segment_ids = jnp.ones((B, T), jnp.int32)
+
+    if cache is not None:
+        write_idx = cache["write_idx"]
+        kv_positions = jax.lax.dynamic_update_slice_in_dim(
+            cache["positions"], flat_positions, write_idx, axis=1
+        )
+        kv_segments = jax.lax.dynamic_update_slice_in_dim(
+            cache["segment_ids"], segment_ids, write_idx, axis=1
+        )
+        mask = make_attention_mask(
+            segment_ids, kv_segments, flat_positions, kv_positions, causal=True
+        )
+    else:
+        write_idx = None
+        mask = make_attention_mask(
+            segment_ids, segment_ids, flat_positions, flat_positions, causal=True
+        )
+
+    attention_fn = attention_fn or (lambda q, k, v, m: xla_attention(q, k, v, m))
+
+    def scan_body(h, xs):
+        layer_params, layer_cache = xs
+        cache_kv = (
+            (layer_cache["k"], layer_cache["v"]) if layer_cache is not None else None
+        )
+        h, new_kv = _layer(
+            cfg, h, layer_params, cos, sin, mask, cache_kv, write_idx, attention_fn
+        )
+        ys = {"k": new_kv[0], "v": new_kv[1]} if new_kv is not None else None
+        return h, ys
+
+    body = jax.checkpoint(scan_body) if remat else scan_body
+    layer_cache = (
+        {"k": cache["k"], "v": cache["v"]} if cache is not None else None
+    )
+    h, new_kv = jax.lax.scan(body, h, (params["layers"], layer_cache))
+
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {
+            "k": new_kv["k"],
+            "v": new_kv["v"],
+            "positions": kv_positions,
+            "segment_ids": kv_segments,
+            "write_idx": write_idx + T,
+        }
+    return h, new_cache
+
+
+def logits(params: dict, cfg: Qwen2Config, hidden: jax.Array,
+           precision: Precision = DEFAULT_PRECISION) -> jax.Array:
+    """LM head (tied or untied), in ``precision.logits_dtype``."""
+    if cfg.tie_word_embeddings:
+        kernel = params["embed"]["weight"].T
+    else:
+        kernel = params["lm_head"]["kernel"]
+    out = jnp.einsum(
+        "bth,hv->btv", hidden, kernel.astype(hidden.dtype),
+        preferred_element_type=precision.logits_dtype,
+    )
+    return out.astype(precision.logits_dtype)

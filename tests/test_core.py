@@ -1,0 +1,87 @@
+"""Core mesh/sharding/config tests on the 8-device virtual CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from iadr1_tpu.core import MeshConfig, build_mesh, named_sharding, shard_pytree
+from iadr1_tpu.core.config import (
+    apply_overrides,
+    dataclass_from_dict,
+    load_config,
+)
+
+
+def test_eight_devices():
+    assert jax.device_count() == 8
+
+
+def test_mesh_resolve():
+    assert MeshConfig(dp=2, fsdp=-1, tp=2).resolve(8) == (2, 2, 2)
+    assert MeshConfig(dp=1, fsdp=-1, tp=1).resolve(8) == (1, 8, 1)
+    with pytest.raises(ValueError):
+        MeshConfig(dp=3, fsdp=-1, tp=1).resolve(8)
+    with pytest.raises(ValueError):
+        MeshConfig(dp=-1, fsdp=-1, tp=1).resolve(8)
+
+
+def test_build_mesh_and_shard():
+    mesh = build_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    assert mesh.shape == {"dp": 2, "fsdp": 2, "tp": 2}
+
+    sharding = named_sharding(mesh, ("embed", "mlp"))
+    assert sharding.spec == P("fsdp", "tp")
+
+    x = jnp.zeros((16, 32))
+    tree = {"w": x}
+    logical = {"w": ("embed", "mlp")}
+    sharded = shard_pytree(tree, logical, mesh)
+    # each device holds a (16/2, 32/2) shard
+    shard_shape = sharded["w"].sharding.shard_shape(x.shape)
+    assert shard_shape == (8, 16)
+
+
+def test_sharded_matmul_runs():
+    mesh = build_mesh(MeshConfig(dp=1, fsdp=4, tp=2))
+    x = jnp.ones((8, 16))
+    w = jnp.ones((16, 32))
+    xs = jax.device_put(x, named_sharding(mesh, ("fsdp_batch", None)))
+    ws = jax.device_put(w, named_sharding(mesh, ("embed", "mlp")))
+    out = jax.jit(lambda a, b: a @ b)(xs, ws)
+    np.testing.assert_allclose(np.asarray(out), np.full((8, 32), 16.0))
+
+
+@dataclasses.dataclass
+class _Inner:
+    lr: float = 1e-4
+    steps: int = 10
+
+
+@dataclasses.dataclass
+class _Cfg:
+    name: str = "x"
+    inner: _Inner = dataclasses.field(default_factory=_Inner)
+    tags: list[str] = dataclasses.field(default_factory=list)
+
+
+def test_dataclass_from_dict():
+    cfg = dataclass_from_dict(
+        _Cfg, {"name": "run1", "inner": {"lr": "3e-4", "steps": 5}, "tags": ["a"]}
+    )
+    assert cfg.inner.lr == pytest.approx(3e-4)
+    assert cfg.inner.steps == 5
+    with pytest.raises(KeyError):
+        dataclass_from_dict(_Cfg, {"bogus": 1})
+
+
+def test_overrides(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text('{"name": "base", "inner": {"lr": 0.1}}')
+    cfg = load_config(_Cfg, p, overrides=["inner.steps=42", "name=over"])
+    assert cfg.name == "over"
+    assert cfg.inner.steps == 42
+    assert cfg.inner.lr == pytest.approx(0.1)
