@@ -1,0 +1,158 @@
+"""Data pipeline tests: templates, supervised encoding, packing, aligners."""
+
+import numpy as np
+import pytest
+
+from iadr1_tpu.data import (
+    IGNORE_INDEX,
+    align_sharegpt,
+    encode_supervised_example,
+    get_template,
+    greedy_knapsack,
+    infer_seqlen,
+    pack_examples,
+)
+from iadr1_tpu.data.registry import DatasetAttr
+
+from helpers import tiny_qwen_tokenizer
+
+
+MESSAGES = [
+    {"role": "user", "content": "Are there any defects in the image?"},
+    {"role": "assistant", "content": "<think>ok</think><answer>No</answer>"},
+]
+
+
+def test_qwen2_vl_template_rendering():
+    t = get_template("qwen2_vl")
+    text = t.render_conversation(MESSAGES)
+    assert text == (
+        "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+        "<|im_start|>user\nAre there any defects in the image?<|im_end|>\n"
+        "<|im_start|>assistant\n"
+        "<think>ok</think><answer>No</answer><|im_end|>\n"
+    )
+
+
+def test_qwen2_vl_generation_prompt():
+    t = get_template("qwen2_vl")
+    text = t.render_conversation(MESSAGES[:1], add_generation_prompt=True)
+    assert text.endswith("<|im_end|>\n<|im_start|>assistant\n")
+
+
+def test_llava_template_rendering():
+    t = get_template("llava")
+    text = t.render_conversation(MESSAGES[:1], add_generation_prompt=True)
+    assert text == (
+        "A chat between a curious user and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the user's questions."
+        "USER: Are there any defects in the image? ASSISTANT:"
+    )
+
+
+def test_llava_next_mistral_rendering():
+    t = get_template("llava_next_mistral")
+    text = t.render_conversation(
+        MESSAGES, eos_text="</s>", bos_text="<s>"
+    )
+    assert text == (
+        "<s>[INST] Are there any defects in the image?[/INST]"
+        " <think>ok</think><answer>No</answer></s>"
+    )
+
+
+def test_supervised_encoding_masks_prompt():
+    tok = tiny_qwen_tokenizer()
+    t = get_template("qwen2_vl")
+    ids, labels = encode_supervised_example(MESSAGES, t, tok)
+    assert len(ids) == len(labels)
+    # prompt span fully masked
+    n_masked = sum(1 for l in labels if l == IGNORE_INDEX)
+    assert 0 < n_masked < len(labels)
+    # the response tokens appear unmasked at the tail
+    tail = [l for l in labels if l != IGNORE_INDEX]
+    resp_ids = tok.encode(
+        "<think>ok</think><answer>No</answer><|im_end|>\n",
+        add_special_tokens=False,
+    )
+    assert tail == resp_ids
+    # round trip: ids decode back to the rendered conversation
+    assert tok.decode(ids) == t.render_conversation(MESSAGES)
+
+
+def test_multiturn_masking():
+    tok = tiny_qwen_tokenizer()
+    t = get_template("qwen2_vl")
+    convo = MESSAGES + [
+        {"role": "user", "content": "And the second image?"},
+        {"role": "assistant", "content": "<answer>Yes</answer>"},
+    ]
+    ids, labels = encode_supervised_example(convo, t, tok)
+    # both responses train; both prompts masked
+    pairs = t.encode_multiturn(tok, convo)
+    expected_trainable = len(pairs[0][1]) + len(pairs[1][1])
+    assert sum(1 for l in labels if l != IGNORE_INDEX) == expected_trainable
+
+    # mask_history: only last turn trains
+    ids2, labels2 = encode_supervised_example(convo, t, tok, mask_history=True)
+    assert sum(1 for l in labels2 if l != IGNORE_INDEX) == len(pairs[1][1])
+
+
+def test_infer_seqlen():
+    assert infer_seqlen(10, 4, 20) == (10, 4)      # everything fits
+    assert infer_seqlen(100, 4, 20) == (16, 4)     # truncate source
+    assert infer_seqlen(4, 100, 20) == (4, 16)     # truncate target
+    assert infer_seqlen(50, 50, 20) == (10, 10)    # proportional split
+
+
+def test_greedy_knapsack():
+    bins = greedy_knapsack([8, 4, 4, 2, 2, 2], 10)
+    assert all(sum(b) <= 10 for b in bins)
+    assert sorted(x for b in bins for x in b) == [2, 2, 2, 4, 4, 8]
+    # greedy fills the first bin with the largest + best fits
+    assert sum(bins[0]) == 10
+
+
+def test_pack_examples():
+    examples = [
+        {"input_ids": [1] * 30, "labels": [1] * 30, "extras": {"i": 0}},
+        {"input_ids": [2] * 20, "labels": [2] * 20, "extras": {"i": 1}},
+        {"input_ids": [3] * 50, "labels": [3] * 50, "extras": {"i": 2}},
+        {"input_ids": [4] * 200, "labels": [4] * 200},  # dropped (> cutoff)
+    ]
+    rows = pack_examples(examples, cutoff_len=64, pad_token_id=0)
+    total_tokens = sum(int((r["segment_ids"] != 0).sum()) for r in rows)
+    assert total_tokens == 100
+    for r in rows:
+        assert r["input_ids"].shape == (64,)
+        # positions restart at each segment
+        segs = r["segment_ids"]
+        pos = r["position_ids"]
+        for s in np.unique(segs[segs != 0]):
+            span = pos[segs == s]
+            assert list(span) == list(range(len(span)))
+        # padding is labeled IGNORE_INDEX
+        assert (r["labels"][segs == 0] == IGNORE_INDEX).all()
+
+
+def test_align_sharegpt():
+    attr = DatasetAttr(
+        name="x", formatting="sharegpt", messages="messages", images="images",
+        role_tag="role", content_tag="content", user_tag="user",
+        assistant_tag="assistant",
+    )
+    row = {
+        "messages": [
+            {"role": "user", "content": "<image>What is this?"},
+            {"role": "assistant", "content": "A scratch."},
+        ],
+        "images": ["imgs/a.png"],
+    }
+    rec = align_sharegpt(row, attr, image_dir="/data")
+    assert rec["messages"][0]["role"] == "user"
+    assert rec["images"] == ["/data/imgs/a.png"]
+
+    # malformed: starts with assistant
+    bad = {"messages": [{"role": "assistant", "content": "hi"}]}
+    assert align_sharegpt(bad, attr) is None
