@@ -149,7 +149,6 @@ def init_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -
     return {
         "k": jnp.zeros((L, batch, max_len, Hkv, D), dtype),
         "v": jnp.zeros((L, batch, max_len, Hkv, D), dtype),
-        "positions": jnp.zeros((batch, max_len), jnp.int32),
         "segment_ids": jnp.zeros((batch, max_len), jnp.int32),
         "write_idx": jnp.zeros((), jnp.int32),
     }
@@ -235,29 +234,33 @@ def apply(
         cos, sin = mrope_cos_sin(
             position_ids, cfg.head_dim_, cfg.rope_theta, cfg.mrope_section
         )
-        flat_positions = position_ids[0]
     else:
         cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
-        flat_positions = position_ids
 
     if segment_ids is None:
         segment_ids = jnp.ones((B, T), jnp.int32)
 
+    # Causality is by sequence/cache-slot order (HF cache_position
+    # semantics), NOT by RoPE position value -- M-RoPE assigns equal temporal
+    # positions to all patches of an image, and packed segments restart
+    # position values.
     if cache is not None:
         write_idx = cache["write_idx"]
-        kv_positions = jax.lax.dynamic_update_slice_in_dim(
-            cache["positions"], flat_positions, write_idx, axis=1
+        q_index = jnp.broadcast_to(write_idx + jnp.arange(T), (B, T))
+        kv_index = jnp.broadcast_to(
+            jnp.arange(cache["segment_ids"].shape[1]), cache["segment_ids"].shape
         )
         kv_segments = jax.lax.dynamic_update_slice_in_dim(
             cache["segment_ids"], segment_ids, write_idx, axis=1
         )
         mask = make_attention_mask(
-            segment_ids, kv_segments, flat_positions, kv_positions, causal=True
+            segment_ids, kv_segments, q_index, kv_index, causal=True
         )
     else:
         write_idx = None
+        q_index = jnp.broadcast_to(jnp.arange(T), (B, T))
         mask = make_attention_mask(
-            segment_ids, segment_ids, flat_positions, flat_positions, causal=True
+            segment_ids, segment_ids, q_index, q_index, causal=True
         )
 
     attention_fn = attention_fn or (lambda q, k, v, m: xla_attention(q, k, v, m))
@@ -286,7 +289,6 @@ def apply(
         new_cache = {
             "k": new_kv["k"],
             "v": new_kv["v"],
-            "positions": kv_positions,
             "segment_ids": kv_segments,
             "write_idx": write_idx + T,
         }
