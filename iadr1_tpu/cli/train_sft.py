@@ -1,0 +1,226 @@
+"""PA-SFT launcher: yaml/json config + dotted CLI overrides.
+
+Configuration surface mirrors the reference PA_SFT scripts
+(scripts/train/PA_SFT/*.sh -> llamafactory yaml args: model_name_or_path,
+dataset, template, cutoff_len, packing, learning rate schedule, ...), minus
+the torchrun/DeepSpeed layer -- parallelism is the mesh section.
+
+Usage:
+    python -m iadr1_tpu.cli.train_sft --config configs/sft_tiny.yaml \
+        train.max_steps=20 optim.learning_rate=1e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ModelSection:
+    model_name_or_path: str = ""       # HF checkpoint dir (config+safetensors)
+    hf_config: dict | None = None      # inline config -> random init (tests)
+    attention: str = "auto"            # auto | flash | xla
+    dtype: str = "float32"             # parameter dtype
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class DataSection:
+    dataset: str = ""                  # name in dataset_info.json, or a .json path
+    dataset_info: str | None = None    # path to dataset_info.json
+    image_dir: str | None = None
+    template: str = "qwen2_vl"
+    cutoff_len: int = 2048
+    packing: bool = True
+    max_samples: int | None = None
+    patch_budget: int = 4096
+    min_pixels: int = 56 * 56
+    max_pixels: int = 480000
+
+
+@dataclasses.dataclass
+class MeshSection:
+    dp: int = 1
+    fsdp: int = -1
+    tp: int = 1
+
+
+@dataclasses.dataclass
+class SFTJobConfig:
+    model: ModelSection = dataclasses.field(default_factory=ModelSection)
+    data: DataSection = dataclasses.field(default_factory=DataSection)
+    mesh: MeshSection = dataclasses.field(default_factory=MeshSection)
+    optim: dict = dataclasses.field(default_factory=dict)
+    train: dict = dataclasses.field(default_factory=dict)
+
+
+def load_tokenizer(path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(path)
+
+
+def prepare_rows(cfg: DataSection, tokenizer, template, multimodal: bool,
+                 vision_cfg=None):
+    """registry/json -> aligned -> (mm expand) -> encoded -> packed rows."""
+    from iadr1_tpu.data.aligner import align_rows
+    from iadr1_tpu.data.mm import expand_image_tokens, qwen2vl_image_seqlen
+    from iadr1_tpu.data.packing import pack_examples
+    from iadr1_tpu.data.registry import (
+        DatasetAttr,
+        load_dataset_registry,
+        load_json_dataset,
+    )
+    from iadr1_tpu.data.tokenize import encode_supervised_example
+    from iadr1_tpu.vision.preprocess import qwen2vl_preprocess
+
+    if cfg.dataset.endswith(".json") or cfg.dataset.endswith(".jsonl"):
+        attr = DatasetAttr(
+            name="inline", file_name=cfg.dataset, formatting="sharegpt",
+            messages="messages", images="images",
+            role_tag="role", content_tag="content",
+            user_tag="user", assistant_tag="assistant",
+        )
+    else:
+        registry = load_dataset_registry(cfg.dataset_info)
+        attr = registry[cfg.dataset]
+    rows = load_json_dataset(attr)
+    if cfg.max_samples:
+        rows = rows[: cfg.max_samples]
+    records = align_rows(rows, attr, cfg.image_dir)
+
+    encoded = []
+    for rec in records:
+        messages = rec["messages"]
+        extras = {}
+        if multimodal and rec["images"]:
+            from PIL import Image
+
+            patches, grids, seqlens = [], [], []
+            for img in rec["images"]:
+                pil = Image.open(img) if isinstance(img, str) else img
+                flat, grid = qwen2vl_preprocess(
+                    pil, min_pixels=cfg.min_pixels, max_pixels=cfg.max_pixels
+                )
+                patches.append(flat)
+                grids.append(grid)
+                seqlens.append(qwen2vl_image_seqlen(grid))
+            messages = expand_image_tokens(
+                messages, seqlens, template.mm_style, template.image_token
+            )
+            extras = {"patches": patches, "grid_thw": grids}
+        elif rec["images"]:
+            # text model given image data: strip placeholders
+            messages = [
+                {**m, "content": m["content"].replace("<image>", "")}
+                for m in messages
+            ]
+        input_ids, labels = encode_supervised_example(
+            messages, template, tokenizer,
+            system=rec.get("system"), cutoff_len=cfg.cutoff_len - 1,
+        )
+        ex = {"input_ids": input_ids, "labels": labels}
+        if extras:
+            ex["extras"] = extras
+        encoded.append(ex)
+
+    pad_id = tokenizer.pad_token_id
+    if pad_id is None:
+        pad_id = tokenizer.eos_token_id
+    return pack_examples(encoded, cfg.cutoff_len, pad_id)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    from iadr1_tpu.core.config import load_config
+    from iadr1_tpu.core import MeshConfig, build_mesh
+    from iadr1_tpu.core.mesh import pytree_shardings
+    from iadr1_tpu.core.metrics import ThroughputMeter, transformer_flops_per_token
+    from iadr1_tpu.data.collator import VLMBatchBuilder, text_batch
+    from iadr1_tpu.data.template import get_template
+    from iadr1_tpu.models.registry import bundle_from_hf_config, bundle_from_pretrained
+    from iadr1_tpu.models.params_io import load_safetensors_path
+    from iadr1_tpu.train import OptimizerConfig, make_optimizer, make_sft_step
+    from iadr1_tpu.train.checkpoint import CheckpointManager
+    from iadr1_tpu.train.loop import LoopConfig, batch_iterator, run_sft_loop
+    from iadr1_tpu.train.state import create_sharded_state
+    from iadr1_tpu.core.config import dataclass_from_dict
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = load_config(SFTJobConfig, args.config, args.overrides)
+    loop_cfg = dataclass_from_dict(LoopConfig, cfg.train)
+    opt_cfg = dataclass_from_dict(OptimizerConfig, cfg.optim)
+
+    dtype = getattr(jnp, cfg.model.dtype)
+    if cfg.model.hf_config:
+        bundle = bundle_from_hf_config(cfg.model.hf_config, attention=cfg.model.attention)
+        params = bundle.init_params(jax.random.PRNGKey(cfg.model.seed), dtype=dtype)
+    else:
+        bundle = bundle_from_pretrained(cfg.model.model_name_or_path,
+                                        attention=cfg.model.attention)
+        state_dict = load_safetensors_path(cfg.model.model_name_or_path)
+        params = bundle.convert_hf(state_dict, dtype=dtype)
+
+    tokenizer = load_tokenizer(cfg.model.model_name_or_path)
+    template = get_template(cfg.data.template)
+
+    vcfg = getattr(bundle.cfg, "vision", None)
+    rows = prepare_rows(cfg.data, tokenizer, template, bundle.multimodal, vcfg)
+    print(f"packed {len(rows)} rows of length {cfg.data.cutoff_len}")
+
+    mesh = build_mesh(MeshConfig(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp))
+    params = jax.device_put(params, pytree_shardings(bundle.logical_axes(), mesh))
+    optimizer, schedule = make_optimizer(
+        dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
+    )
+    state = create_sharded_state(params, optimizer)
+    step = make_sft_step(bundle.forward, optimizer, schedule)
+
+    if bundle.multimodal:
+        collate = VLMBatchBuilder(
+            image_token_id=bundle.cfg.image_token_id,
+            vision_start_token_id=bundle.cfg.vision_start_token_id,
+            head_dim=vcfg.head_dim,
+            patch_dim=vcfg.patch_dim,
+            patch_budget=cfg.data.patch_budget,
+            min_pixels=cfg.data.min_pixels,
+            max_pixels=cfg.data.max_pixels,
+        )
+    else:
+        collate = text_batch
+    batches = batch_iterator(rows, loop_cfg.batch_size, loop_cfg.seed, collate)
+
+    tcfg = getattr(bundle.cfg, "text", bundle.cfg)
+    meter = ThroughputMeter(
+        flops_per_token_fwd=transformer_flops_per_token(
+            hidden=tcfg.hidden_size, intermediate=tcfg.intermediate_size,
+            num_layers=tcfg.num_hidden_layers, vocab=tcfg.vocab_size,
+            seq_len=cfg.data.cutoff_len,
+            num_heads=tcfg.num_attention_heads,
+            num_kv_heads=tcfg.num_key_value_heads,
+        ),
+        n_chips=mesh.size,
+        chip="v5e" if jax.default_backend() == "tpu" else "cpu",
+    )
+    ckpt = CheckpointManager(
+        os.path.join(loop_cfg.output_dir, "checkpoints"),
+        max_to_keep=loop_cfg.keep_checkpoints,
+    )
+    state, history = run_sft_loop(state, step, batches, loop_cfg, ckpt, meter)
+    print(json.dumps({"final": history[-1] if history else {}}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,140 @@
+"""Batch assembly: packed rows + host vision precompute -> jit-ready arrays.
+
+The TPU counterpart of MultiModalDataCollatorForSeq2Seq
+(llamafactory/data/collator.py:78-160): instead of ragged pixel batches +
+4-D masks + per-batch M-RoPE computation in torch, every batch is a set of
+static-shape arrays -- packed token rows with segment ids, a padded patch
+stream with per-image segments, scatter indices, and precomputed [3, B, T]
+M-RoPE grids.  The reference's ZeRO-3 fake-image trick (collator.py:104-125)
+is unnecessary: SPMD programs have no per-rank divergence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from iadr1_tpu.data.tokenize import IGNORE_INDEX
+from iadr1_tpu.vision import preprocess as vp
+
+
+@dataclasses.dataclass
+class VLMBatchBuilder:
+    """Builds VLM batches from packed rows whose extras carry image info.
+
+    extras per segment: {"images": [paths or PIL], "grid_thw": [(t,h,w)],
+    "patches": np [n, patch_dim] (optional, if preprocessed already)}
+    """
+
+    image_token_id: int
+    vision_start_token_id: int
+    head_dim: int
+    patch_dim: int
+    patch_budget: int              # static max patches per batch
+    merge_size: int = 2
+    spatial_merge_size: int = 2
+    min_pixels: int = 56 * 56
+    max_pixels: int = 480000       # reference RL default (SC_GRPO scripts)
+
+    def __call__(self, rows: Sequence[dict]) -> dict:
+        B = len(rows)
+        T = len(rows[0]["input_ids"])
+        input_ids = np.stack([r["input_ids"] for r in rows])
+        labels = np.stack([r["labels"] for r in rows])
+        segment_ids = np.stack([r["segment_ids"] for r in rows])
+
+        patches_list, grids = [], []
+        for r in rows:
+            for extra in r.get("extras", []):
+                if "patches" in extra:
+                    for p, g in zip(extra["patches"], extra["grid_thw"]):
+                        patches_list.append(p)
+                        grids.append(g)
+                else:
+                    for img in extra.get("images", []):
+                        from PIL import Image
+
+                        pil = Image.open(img) if isinstance(img, str) else img
+                        flat, grid = vp.qwen2vl_preprocess(
+                            pil, min_pixels=self.min_pixels,
+                            max_pixels=self.max_pixels,
+                        )
+                        patches_list.append(flat)
+                        grids.append(grid)
+
+        if patches_list:
+            patches = np.concatenate(patches_list, axis=0)
+        else:
+            patches = np.zeros((0, self.patch_dim), np.float32)
+        n_patches = patches.shape[0]
+        if n_patches > self.patch_budget:
+            raise ValueError(
+                f"patch stream {n_patches} exceeds budget {self.patch_budget}"
+            )
+        grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
+
+        # M-RoPE grids per row (positions restart at each packed segment).
+        from iadr1_tpu.vision.mrope import get_mrope_positions
+
+        position_ids = np.zeros((3, B, T), np.int64)
+        gi = 0
+        for b, r in enumerate(rows):
+            segs = r["segment_ids"]
+            for s in np.unique(segs[segs != 0]):
+                span = segs == s
+                ids_span = input_ids[b][span][None]
+                n_imgs = int(np.sum(ids_span == self.image_token_id) > 0)
+                # count images in this segment by vision_start occurrences
+                n_starts = int(np.sum(ids_span == self.vision_start_token_id))
+                seg_grids = grid_thw[gi : gi + n_starts]
+                gi += n_starts
+                pos, _ = get_mrope_positions(
+                    ids_span, seg_grids if n_starts else None,
+                    self.image_token_id, self.vision_start_token_id,
+                    spatial_merge_size=self.spatial_merge_size,
+                )
+                position_ids[:, b, span] = pos[:, 0]
+
+        # vision-side arrays padded to the static budget
+        pad = self.patch_budget - n_patches
+        patches = np.concatenate(
+            [patches, np.zeros((pad, self.patch_dim), np.float32)]
+        )
+        cos, sin = vp.vision_rotary_tables(grid_thw, self.head_dim, self.merge_size)
+        cos = np.concatenate([cos, np.ones((pad, cos.shape[1]), np.float32)])
+        sin = np.concatenate([sin, np.zeros((pad, sin.shape[1]), np.float32)])
+        vsegs = vp.vision_segment_ids(grid_thw, pad_to=self.patch_budget)
+
+        # scatter indices: feature i -> (row, col) of the i-th image token;
+        # padded features target the sentinel row B (dropped).
+        rows_idx, cols_idx = np.nonzero(input_ids == self.image_token_id)
+        n_feats = self.patch_budget // (self.merge_size ** 2)
+        scatter_rows = np.full(n_feats, B, np.int32)
+        scatter_cols = np.zeros(n_feats, np.int32)
+        scatter_rows[: len(rows_idx)] = rows_idx
+        scatter_cols[: len(cols_idx)] = cols_idx
+
+        return {
+            "input_ids": input_ids.astype(np.int32),
+            "labels": labels.astype(np.int32),
+            "segment_ids": segment_ids.astype(np.int32),
+            "position_ids": position_ids.astype(np.int32),
+            "patches": patches,
+            "rot_cos": cos,
+            "rot_sin": sin,
+            "vision_segments": vsegs,
+            "scatter_rows": scatter_rows,
+            "scatter_cols": scatter_cols,
+        }
+
+
+def text_batch(rows: Sequence[dict]) -> dict:
+    """Plain-text batch from packed rows (1-D RoPE positions)."""
+    return {
+        "input_ids": np.stack([r["input_ids"] for r in rows]).astype(np.int32),
+        "labels": np.stack([r["labels"] for r in rows]).astype(np.int32),
+        "segment_ids": np.stack([r["segment_ids"] for r in rows]).astype(np.int32),
+        "position_ids": np.stack([r["position_ids"] for r in rows]).astype(np.int32),
+    }

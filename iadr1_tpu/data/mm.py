@@ -1,0 +1,58 @@
+"""Multimodal message handling: image-placeholder expansion.
+
+Behavior-compatible with the reference mm_plugin token expansion
+(mm_plugin.py Qwen2vlPlugin.process_messages:850-897: each ``<image>``
+placeholder becomes ``<|vision_start|>`` + image_token x (prod(grid)/merge^2)
++ ``<|vision_end|>``; LLaVA-style plugins substitute N copies of the plain
+image token, mm_plugin.py:287-379).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+IMAGE_PLACEHOLDER = "<image>"
+
+
+def qwen2vl_image_seqlen(grid_thw, merge_size: int = 2) -> int:
+    t, h, w = grid_thw
+    return int(t * h * w) // (merge_size ** 2)
+
+
+def expand_image_tokens(
+    messages: Sequence[dict],
+    image_seqlens: Sequence[int],
+    mm_style: str,
+    image_token: str,
+) -> list[dict]:
+    """Replace each IMAGE_PLACEHOLDER with the family's expanded token run.
+
+    ``image_seqlens[i]`` is the number of feature tokens for the i-th image
+    in reading order across the conversation.
+    """
+    out = []
+    idx = 0
+    for message in messages:
+        content = message["content"]
+        while IMAGE_PLACEHOLDER in content:
+            if idx >= len(image_seqlens):
+                raise ValueError(
+                    "more image placeholders than provided images"
+                )
+            n = image_seqlens[idx]
+            if mm_style == "qwen2_vl":
+                repl = f"<|vision_start|>{image_token * n}<|vision_end|>"
+            elif mm_style in ("llava", "plain"):
+                repl = image_token * n
+            elif mm_style == "intern_vl":
+                repl = f"<img>{image_token * n}</img>"
+            else:
+                raise ValueError(f"unknown mm style {mm_style!r}")
+            content = content.replace(IMAGE_PLACEHOLDER, repl, 1)
+            idx += 1
+        out.append({**message, "content": content})
+    if idx != len(image_seqlens):
+        raise ValueError(
+            f"{len(image_seqlens)} images provided but {idx} placeholders found"
+        )
+    return out

@@ -11,6 +11,7 @@ tests against the HF implementation on random tiny configs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -165,7 +166,6 @@ def _layer(
     layer_params: dict,
     cos: jax.Array,
     sin: jax.Array,
-    mask: jax.Array | None,
     cache_kv: tuple[jax.Array, jax.Array] | None,
     write_idx: jax.Array | None,
     attention_fn: Callable,
@@ -191,7 +191,7 @@ def _layer(
         new_cache_kv = (ck, cv)
         k, v = ck.astype(q.dtype), cv.astype(q.dtype)
 
-    attn_out = attention_fn(q, k, v, mask)
+    attn_out = attention_fn(q, k, v)
     attn_out = dense(attn_out.reshape(B, T, H * D), attn_p["o"]["kernel"])
     h = h + attn_out
 
@@ -263,7 +263,16 @@ def apply(
             segment_ids, segment_ids, q_index, q_index, causal=True
         )
 
-    attention_fn = attention_fn or (lambda q, k, v, m: xla_attention(q, k, v, m))
+    if attention_fn is None:
+        attn = lambda q, k, v: xla_attention(q, k, v, mask)
+    else:
+        attn = functools.partial(
+            attention_fn,
+            mask=mask,
+            q_segments=segment_ids,
+            kv_segments=kv_segments if cache is not None else segment_ids,
+            causal=True,
+        )
 
     def scan_body(h, xs):
         layer_params, layer_cache = xs
@@ -271,7 +280,7 @@ def apply(
             (layer_cache["k"], layer_cache["v"]) if layer_cache is not None else None
         )
         h, new_kv = _layer(
-            cfg, h, layer_params, cos, sin, mask, cache_kv, write_idx, attention_fn
+            cfg, h, layer_params, cos, sin, cache_kv, write_idx, attn
         )
         ys = {"k": new_kv[0], "v": new_kv[1]} if new_kv is not None else None
         return h, ys

@@ -16,6 +16,7 @@ host-side precomputes (iadr1_tpu/vision/).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax
@@ -166,12 +167,15 @@ def apply_vision(
     sin = rot_sin[None, :, None, :]
     segs = segment_ids[None, :]
 
+    seg_mask = (segs[:, :, None] == segs[:, None, :]) & (segs[:, None, :] != 0)
+    seg_mask = seg_mask[:, None, :, :]
     if attention_fn is None:
-        def attention_fn(q, k, v, q_segs):
-            mask = (q_segs[:, :, None] == q_segs[:, None, :]) & (
-                q_segs[:, None, :] != 0
-            )
-            return common.xla_attention(q, k, v, mask[:, None, :, :])
+        attn = lambda q, k, v: common.xla_attention(q, k, v, seg_mask)
+    else:
+        attn = functools.partial(
+            attention_fn, mask=seg_mask, q_segments=segs, kv_segments=segs,
+            causal=False,
+        )
 
     def block(h, layer):
         x = layer_norm(h, layer["norm1"]["scale"], layer["norm1"]["bias"])
@@ -183,8 +187,8 @@ def apply_vision(
         qf = q.astype(jnp.float32) * cos + rotate_half(q.astype(jnp.float32)) * sin
         kf = k.astype(jnp.float32) * cos + rotate_half(k.astype(jnp.float32)) * sin
         q, k = qf.astype(h.dtype), kf.astype(h.dtype)
-        attn = attention_fn(q, k, v, segs).reshape(P, H * D)
-        h = h + dense(attn, layer["attn"]["proj"]["kernel"], layer["attn"]["proj"]["bias"])
+        attn_out = attn(q, k, v).reshape(P, H * D)
+        h = h + dense(attn_out, layer["attn"]["proj"]["kernel"], layer["attn"]["proj"]["bias"])
         x = layer_norm(h, layer["norm2"]["scale"], layer["norm2"]["bias"])
         x = dense(x, layer["mlp"]["fc1"]["kernel"], layer["mlp"]["fc1"]["bias"])
         x = quick_gelu(x)

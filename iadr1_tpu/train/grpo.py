@@ -1,0 +1,255 @@
+"""SC-GRPO: structured-control group-relative policy optimization.
+
+Behavior-compatible with the reference SCGRPOTrainer
+(train/stage_rl/trainer/sc_grpo_trainer.py): per step --
+rollout G completions per prompt (vLLM there, the in-program RolloutEngine
+here), score with the structured reward functions, group-normalize
+advantages ((r - mean_G) / (std_G + 1e-4), :786-793), compute per-token
+policy logps and frozen-reference logps, k3 KL estimator
+(exp(ref-lp) - (ref-lp) - 1, :746), and the REINFORCE-with-baseline loss
+-(exp(lp - sg(lp)) * adv - beta * KL) averaged per-sequence then per-batch
+(:796-798).
+
+TPU design: generation, scoring, and update are jit programs sharing one
+mesh and one copy of the policy parameters -- no weight transfer, no
+dedicated generation chip, no gather/broadcast of rollouts (the reference
+burns one GPU on vLLM and syncs weights every step, :314-352, :569-579).
+Rewards are host-side regex (pure Python) between the generate and update
+programs.
+
+One deliberate divergence: prompts repeat G times *consecutively* so group
+advantage normalization is correct for any per-step batch size (the
+reference tiles the whole batch and its .view(-1, G) grouping is only
+correct when each rank carries a single prompt).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iadr1_tpu.train.rollout import RolloutEngine, SamplingConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class GRPOConfig:
+    num_generations: int = 4          # G (SC_GRPO_*.sh --num_generations 4)
+    beta: float = 0.04                # KL coefficient (trl GRPOConfig default)
+    temperature: float = 0.9
+    top_p: float = 0.9
+    top_k: int = 50
+    max_prompt_length: int = 1024
+    max_completion_length: int = 512
+    scale_rewards: bool = True        # divide by group std
+
+
+# ---------------------------------------------------------------------------
+# jit update step
+# ---------------------------------------------------------------------------
+
+
+def _completion_logps(forward_fn, params, batch) -> jax.Array:
+    """Per-token logps of completion tokens given the full sequence.
+
+    batch: input_ids [B, P+N] (prompt left-padded + completion),
+    segment_ids, position_ids.  Returns [B, N] log p(token | prefix).
+    """
+    logits = forward_fn(params, batch)               # [B, P+N, V]
+    P = batch["prompt_len"]
+    N = batch["completion_ids"].shape[1]
+    # logits at positions P-1 .. P+N-2 predict completion tokens 0..N-1
+    pred = jax.lax.dynamic_slice_in_dim(logits, P - 1, N, axis=1)
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    ids = batch["completion_ids"]
+    oh = jax.nn.one_hot(ids, logp.shape[-1], dtype=logp.dtype)
+    # one-hot contraction instead of take_along_axis: dense, MXU-friendly,
+    # and avoids pathological gather/scatter paths
+    return jnp.einsum("bnv,bnv->bn", logp, oh)
+
+
+def make_grpo_update_step(forward_fn, optimizer, cfg: GRPOConfig,
+                          schedule=None):
+    """(state, ref_params, batch) -> (new_state, metrics).
+
+    batch fields: input_ids [B, P+N], segment_ids, position_ids,
+    completion_ids [B, N], completion_mask [B, N], advantages [B],
+    prompt_len (static int under jit via closure -- pass in batch as a
+    concrete array-free int).
+    """
+
+    def step(state, ref_params, batch):
+        completion_mask = batch["completion_mask"].astype(jnp.float32)
+
+        def loss_fn(params):
+            logps = _completion_logps(forward_fn, params, batch)
+            ref_logps = _completion_logps(forward_fn, ref_params, batch)
+            ref_logps = jax.lax.stop_gradient(ref_logps)
+
+            # k3 KL estimator (sc_grpo_trainer.py:746)
+            kl = jnp.exp(ref_logps - logps) - (ref_logps - logps) - 1.0
+
+            adv = batch["advantages"][:, None]
+            ratio = jnp.exp(logps - jax.lax.stop_gradient(logps))
+            per_token = -(ratio * adv - cfg.beta * kl)
+
+            denom = jnp.maximum(completion_mask.sum(axis=1), 1.0)
+            seq_loss = (per_token * completion_mask).sum(axis=1) / denom
+            loss = seq_loss.mean()
+
+            mean_kl = ((kl * completion_mask).sum(axis=1) / denom).mean()
+            return loss, {"loss": loss, "kl": mean_kl}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, optimizer)
+        if schedule is not None:
+            metrics["learning_rate"] = schedule(state.step)
+        metrics["completion_length"] = completion_mask.sum(axis=1).mean()
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# host-side orchestration
+# ---------------------------------------------------------------------------
+
+
+def group_advantages(rewards: np.ndarray, num_generations: int,
+                     scale: bool = True) -> np.ndarray:
+    """(r - mean_G) / (std_G + 1e-4) over consecutive groups of G.
+
+    Matches sc_grpo_trainer.py:786-793 (torch .std -> ddof=1).
+    """
+    r = rewards.reshape(-1, num_generations)
+    mean = r.mean(axis=1, keepdims=True)
+    std = r.std(axis=1, ddof=1, keepdims=True)
+    adv = r - mean
+    if scale:
+        adv = adv / (std + 1e-4)
+    return adv.reshape(-1).astype(np.float32)
+
+
+class GRPOTrainer:
+    """Host loop: collate prompts -> rollout -> rewards -> jit update.
+
+    ``reward_funcs`` follow the reference signature
+    fn(completions, solution=..., **cols) -> list[float]; rewards from all
+    functions are summed (sc_grpo_trainer.py:756-784).
+    """
+
+    def __init__(self, bundle, tokenizer, optimizer, cfg: GRPOConfig,
+                 reward_funcs: Sequence[Callable], state, ref_params,
+                 sampling_overrides: dict | None = None, schedule=None,
+                 template=None):
+        self.bundle = bundle
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.reward_funcs = list(reward_funcs)
+        self.state = state
+        self.ref_params = ref_params
+        self.template = template
+        sampling = SamplingConfig(
+            max_new_tokens=cfg.max_completion_length,
+            temperature=cfg.temperature, top_p=cfg.top_p, top_k=cfg.top_k,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id or tokenizer.eos_token_id,
+            **(sampling_overrides or {}),
+        )
+        self.engine = RolloutEngine(
+            bundle, sampling,
+            max_len=cfg.max_prompt_length + cfg.max_completion_length,
+        )
+        self.update_step = make_grpo_update_step(
+            lambda params, batch: bundle.forward(params, batch),
+            optimizer, cfg, schedule,
+        )
+        self._rng = jax.random.PRNGKey(0)
+        self.metrics_history: list[dict] = []
+
+    # --- prompt collation --------------------------------------------------
+
+    def _collate_prompts(self, examples: Sequence[dict]) -> dict:
+        """Left-pad tokenized prompts to max_prompt_length, repeated G times
+        consecutively."""
+        G = self.cfg.num_generations
+        P = self.cfg.max_prompt_length
+        pad = self.tokenizer.pad_token_id or self.tokenizer.eos_token_id
+        ids_list = []
+        for ex in examples:
+            ids = ex["prompt_ids"][-P:]
+            ids_list.extend([ids] * G)
+        B = len(ids_list)
+        input_ids = np.full((B, P), pad, np.int32)
+        mask = np.zeros((B, P), np.int32)
+        for i, ids in enumerate(ids_list):
+            input_ids[i, P - len(ids):] = ids
+            mask[i, P - len(ids):] = 1
+        return {"input_ids": jnp.asarray(input_ids),
+                "attention_mask": jnp.asarray(mask)}
+
+    # --- one GRPO step -----------------------------------------------------
+
+    def step(self, examples: Sequence[dict]) -> dict:
+        """examples: [{"prompt_ids": [...], "solution": str, ...extras}]."""
+        G = self.cfg.num_generations
+        batch = self._collate_prompts(examples)
+        self._rng, sub = jax.random.split(self._rng)
+        rollout = self.engine.generate(self.state.params, batch, sub)
+
+        completion_ids = np.asarray(rollout["completion_ids"])
+        completion_mask = np.asarray(rollout["completion_mask"])
+        texts = self.tokenizer.batch_decode(
+            [ids[m.astype(bool)] for ids, m in zip(completion_ids, completion_mask)],
+            skip_special_tokens=True,
+        )
+        completions = [[{"role": "assistant", "content": t}] for t in texts]
+
+        # reward kwargs: every extra column repeated G times per example
+        reward_kwargs = {}
+        keys = {k for ex in examples for k in ex if k != "prompt_ids"}
+        for key in keys:
+            reward_kwargs[key] = [
+                ex.get(key) for ex in examples for _ in range(G)
+            ]
+        rewards_per_func = np.zeros((len(completions), len(self.reward_funcs)))
+        for i, fn in enumerate(self.reward_funcs):
+            out = fn(completions=completions, **reward_kwargs)
+            rewards_per_func[:, i] = np.asarray(out, np.float64)
+        rewards = rewards_per_func.sum(axis=1)
+        advantages = group_advantages(rewards, G, self.cfg.scale_rewards)
+
+        # assemble update batch (static shapes)
+        prompt_ids = np.asarray(rollout["prompt_ids"])
+        prompt_mask = np.asarray(rollout["prompt_mask"])
+        full_ids = np.concatenate([prompt_ids, completion_ids], axis=1)
+        full_mask = np.concatenate([prompt_mask, completion_mask], axis=1)
+        positions = np.clip(np.cumsum(full_mask, axis=1) - 1, 0, None)
+        update_batch = {
+            "input_ids": jnp.asarray(full_ids, jnp.int32),
+            "segment_ids": jnp.asarray(full_mask, jnp.int32),
+            "position_ids": jnp.asarray(positions, jnp.int32),
+            "completion_ids": jnp.asarray(completion_ids, jnp.int32),
+            "completion_mask": jnp.asarray(completion_mask, jnp.int32),
+            "advantages": jnp.asarray(advantages),
+            "prompt_len": prompt_ids.shape[1],
+        }
+        self.state, metrics = self.update_step(
+            self.state, self.ref_params, update_batch
+        )
+
+        out = {k: float(v) for k, v in metrics.items()}
+        out["reward"] = float(rewards.mean())
+        out["reward_std"] = float(
+            rewards.reshape(-1, G).std(axis=1, ddof=1).mean()
+        )
+        for i, fn in enumerate(self.reward_funcs):
+            out[f"rewards/{fn.__name__}"] = float(rewards_per_func[:, i].mean())
+        self.metrics_history.append(out)
+        return out

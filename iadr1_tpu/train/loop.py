@@ -1,0 +1,111 @@
+"""SFT training loop: data -> jit step -> logging -> checkpoints.
+
+The loop layer of the PA-SFT stage (reference: run_sft workflow,
+llamafactory/train/sft/workflow.py:40-132, with LogCallback-style jsonl
+logging and ETA, train/callbacks.py:179-348).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Iterable, Sequence
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    output_dir: str = "output"
+    max_steps: int = 100
+    batch_size: int = 8               # global batch (rows per step)
+    logging_steps: int = 10
+    save_steps: int = 0               # 0 = only final
+    seed: int = 0
+    keep_checkpoints: int = 3
+
+
+class JsonlLogger:
+    """trainer_log.jsonl-compatible progress log (+ stdout)."""
+
+    def __init__(self, output_dir: str, total_steps: int):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "trainer_log.jsonl")
+        self.total = total_steps
+        self.start = time.time()
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: dict):
+        elapsed = time.time() - self.start
+        rate = elapsed / max(step, 1)
+        record = {
+            "current_steps": step,
+            "total_steps": self.total,
+            "percentage": round(step / self.total * 100, 2),
+            "elapsed_time": round(elapsed, 1),
+            "remaining_time": round(rate * (self.total - step), 1),
+            **{k: (round(float(v), 6) if np.isscalar(v) or getattr(v, "ndim", 1) == 0 else v)
+               for k, v in metrics.items()},
+        }
+        self._f.write(json.dumps(record) + "\n")
+        self._f.flush()
+        print(f"[step {step}/{self.total}] " + " ".join(
+            f"{k}={record[k]}" for k in metrics
+        ))
+
+    def close(self):
+        self._f.close()
+
+
+def batch_iterator(rows: Sequence[dict], batch_size: int, seed: int,
+                   collate: Callable) -> Iterable[dict]:
+    """Infinite shuffled epochs over packed rows."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(rows))
+    while True:
+        rng.shuffle(order)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            yield collate([rows[j] for j in order[i : i + batch_size]])
+
+
+def run_sft_loop(
+    state,
+    step_fn,
+    batches: Iterable[dict],
+    cfg: LoopConfig,
+    checkpoint_manager=None,
+    meter=None,
+):
+    """Drive training for cfg.max_steps; returns (final_state, history)."""
+    logger = JsonlLogger(cfg.output_dir, cfg.max_steps)
+    history = []
+    it = iter(batches)
+    t_last = time.perf_counter()
+    for step in range(1, cfg.max_steps + 1):
+        batch = next(it)
+        state, metrics = step_fn(state, batch)
+        if meter is not None or step % max(cfg.logging_steps, 1) == 0:
+            # scalar fetch: the only reliable sync point on the tunneled TPU
+            float(metrics["loss"])
+            now = time.perf_counter()
+            if meter is not None:
+                n_tok = int(np.prod(np.shape(batch["input_ids"])))
+                meter.update(n_tok, now - t_last)
+            t_last = now
+        if step % max(cfg.logging_steps, 1) == 0:
+            out = {k: float(v) for k, v in metrics.items()}
+            if meter is not None:
+                out["tokens_per_sec_per_chip"] = meter.tokens_per_sec_per_chip
+                out["mfu"] = meter.mfu
+            logger.log(step, out)
+            history.append(out)
+        if checkpoint_manager is not None and cfg.save_steps and step % cfg.save_steps == 0:
+            checkpoint_manager.save(step, state)
+    if checkpoint_manager is not None:
+        checkpoint_manager.save(cfg.max_steps, state)
+        checkpoint_manager.wait()
+    logger.close()
+    return state, history

@@ -1,0 +1,186 @@
+"""Rollout engine: jit-compiled batched sampling with a static KV cache.
+
+The TPU-native replacement for the reference's vLLM dependency (GRPO rollouts
+at sc_grpo_trainer.py:343-358 and 651-677; eval inference at
+vLLM_Qwen_detect_format.py:277-287).  Key design points:
+
+* rollout and training share one mesh and one set of live parameters -- the
+  reference's per-step weight sync (_move_model_to_vllm,
+  sc_grpo_trainer.py:569-579) is eliminated by construction.
+* prompts are left-padded into a static [B, max_prompt] block (matching the
+  reference's left padding, sc_grpo_trainer.py:184-227), prefilled in one
+  pass, then decoded with lax.scan over max_new_tokens.
+* sampling: temperature + top-k + top-p (the reference's SamplingParams:
+  temperature, top_p=0.9, top_k=50, sc_grpo_trainer.py:353-358); greedy when
+  temperature == 0 (the eval drivers' setting).
+* sequences freeze at EOS: the emitted token becomes pad and the cache
+  segment mask stops growing, mirroring the reference's mask-to-first-EOS
+  (sc_grpo_trainer.py:722-726).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    max_new_tokens: int = 512
+    temperature: float = 0.9
+    top_p: float = 0.9
+    top_k: int = 50
+    eos_token_id: int = 0
+    pad_token_id: int = 0
+
+
+def sample_token(rng, logits, cfg: SamplingConfig):
+    """One sampling step over [B, V] logits."""
+    if cfg.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / cfg.temperature
+    k = min(cfg.top_k if cfg.top_k > 0 else logits.shape[-1], logits.shape[-1])
+    top_logits, top_idx = jax.lax.top_k(logits, k)            # [B, k] desc
+    if cfg.top_p < 1.0:
+        probs = jax.nn.softmax(top_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens while the cumulative mass *before* them is < top_p
+        keep = (cum - probs) < cfg.top_p
+        top_logits = jnp.where(keep, top_logits, -jnp.inf)
+    choice = jax.random.categorical(rng, top_logits, axis=-1)  # [B]
+    return jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0].astype(
+        jnp.int32
+    )
+
+
+class RolloutEngine:
+    """Batched generate() over a model bundle with a KV cache.
+
+    ``prefill_fn(params, batch, cache) -> (hidden, cache)`` and
+    ``decode_fn(params, token_batch, cache) -> (hidden, cache)`` are built
+    from the registry bundle; ``logits_fn(params, hidden) -> [B, T, V]``.
+    """
+
+    def __init__(self, bundle, sampling: SamplingConfig, max_len: int,
+                 cache_dtype=jnp.bfloat16):
+        self.bundle = bundle
+        self.sampling = sampling
+        self.max_len = max_len
+        self.cache_dtype = cache_dtype
+        self._generate = jax.jit(
+            functools.partial(_generate_impl, bundle=bundle,
+                              sampling=sampling, max_len=max_len,
+                              cache_dtype=cache_dtype),
+            static_argnames=(),
+        )
+
+    def generate(self, params, batch, rng) -> dict:
+        """batch: left-padded prompt arrays (+ optional vision arrays).
+
+        Returns {"completion_ids": [B, max_new], "completion_mask": ...,
+        "sequences": [B, prompt+max_new]}.
+        """
+        return self._generate(params, batch, rng)
+
+
+def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
+                   max_len: int, cache_dtype):
+    from iadr1_tpu.models import qwen2, qwen2_vl
+
+    cfg = bundle.cfg
+    tcfg = getattr(cfg, "text", cfg)
+    input_ids = batch["input_ids"]                  # [B, P] left-padded
+    attn_mask = batch["attention_mask"]             # [B, P] 1 = real
+    B, P = input_ids.shape
+    mrope = tcfg.mrope_section is not None
+
+    cache = qwen2.init_cache(tcfg, B, max_len, cache_dtype)
+
+    # --- prefill ----------------------------------------------------------
+    segs = attn_mask.astype(jnp.int32)
+    if mrope:
+        position_ids = batch["position_ids"]        # [3, B, P] precomputed
+        deltas = batch["mrope_deltas"]              # [B]
+    else:
+        position_ids = jnp.clip(jnp.cumsum(attn_mask, axis=1) - 1, 0)
+        deltas = position_ids[:, -1] + 1 - P        # next pos = P + delta
+
+    if bundle.multimodal:
+        hidden, cache = qwen2_vl.apply(
+            params, cfg, input_ids, position_ids,
+            patches=batch.get("patches"),
+            rot_cos=batch.get("rot_cos"), rot_sin=batch.get("rot_sin"),
+            vision_segments=batch.get("vision_segments"),
+            scatter_rows=batch.get("scatter_rows"),
+            scatter_cols=batch.get("scatter_cols"),
+            segment_ids=segs, cache=cache,
+        )
+        logits_fn = lambda h: qwen2_vl.logits(params, cfg, h)
+    else:
+        hidden, cache = qwen2.apply(
+            params, tcfg, input_ids, position_ids=position_ids,
+            segment_ids=segs, cache=cache,
+        )
+        logits_fn = lambda h: qwen2.logits(params, tcfg, h)
+
+    last_logits = logits_fn(hidden[:, -1:, :])[:, 0]          # [B, V]
+    rng, sub = jax.random.split(rng)
+    first_token = sample_token(sub, last_logits, sampling)
+
+    # --- decode loop -------------------------------------------------------
+    eos = sampling.eos_token_id
+    pad = sampling.pad_token_id
+
+    def body(carry, step_rng):
+        cache, token, done, t = carry
+        token_in = jnp.where(done, pad, token)
+        # positions: all three mrope axes advance together after the prompt
+        pos_t = (P + deltas + t).astype(jnp.int32)[:, None]   # [B, 1]
+        pos = (
+            jnp.broadcast_to(pos_t, (3, B, 1)) if mrope else pos_t
+        )
+        seg = jnp.where(done, 0, 1).astype(jnp.int32)[:, None]
+        if bundle.multimodal:
+            hidden, new_cache = qwen2_vl.apply(
+                params, cfg, token_in[:, None], pos,
+                segment_ids=seg, cache=cache,
+            )
+        else:
+            hidden, new_cache = qwen2.apply(
+                params, tcfg, token_in[:, None], position_ids=pos,
+                segment_ids=seg, cache=cache,
+            )
+        logits = logits_fn(hidden)[:, 0]
+        next_token = sample_token(step_rng, logits, sampling)
+        emitted = jnp.where(done, pad, token)
+        new_done = done | (token == eos)
+        next_token = jnp.where(new_done, pad, next_token)
+        return (new_cache, next_token, new_done, t + 1), emitted
+
+    rngs = jax.random.split(rng, sampling.max_new_tokens)
+    done0 = jnp.zeros((B,), bool)
+    (cache, _, done, _), tokens = jax.lax.scan(
+        body, (cache, first_token, done0, jnp.zeros((), jnp.int32)), rngs
+    )
+    completion_ids = tokens.T                                  # [B, max_new]
+
+    # mask: tokens up to and including the first EOS
+    # (sc_grpo_trainer.py:722-726)
+    is_eos = completion_ids == eos
+    any_eos = is_eos.any(axis=1)
+    first_eos = jnp.where(any_eos, jnp.argmax(is_eos, axis=1),
+                          completion_ids.shape[1])
+    idx = jnp.arange(completion_ids.shape[1])[None, :]
+    completion_mask = (idx <= first_eos[:, None]).astype(jnp.int32)
+    # positions past max_new with no EOS keep mask 1 (reference behavior)
+
+    return {
+        "completion_ids": completion_ids,
+        "completion_mask": completion_mask,
+        "prompt_ids": input_ids,
+        "prompt_mask": attn_mask.astype(jnp.int32),
+    }
