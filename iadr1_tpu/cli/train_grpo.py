@@ -1,0 +1,271 @@
+"""SC-GRPO launcher.
+
+Mirrors the reference RL entry point (train/stage_rl/grpo_ad.py +
+scripts/train/SC_GRPO/*.sh): a json dataset of {image, problem, solution}
+rows, the 0-shot/1-shot IAD prompt templates, a reward-function list
+(default accuracy + format), G-way rollouts, and the SC-GRPO update -- all
+on one mesh with no vLLM sidecar.
+
+Usage:
+    python -m iadr1_tpu.cli.train_grpo --config configs/grpo_tiny.yaml \
+        grpo.num_generations=4 train.max_steps=100
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class GRPOModelSection:
+    model_name_or_path: str = ""
+    hf_config: dict | None = None
+    attention: str = "auto"
+    dtype: str = "float32"
+    ref_dtype: str = "bfloat16"       # frozen reference copy precision
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class GRPODataSection:
+    dataset_name: str = ""            # RL json: [{image, problem, solution}]
+    image_path: str | None = None
+    use_system_prompt: bool = False
+    single_img: int = 1
+    template: str = "qwen2_vl"
+    max_samples: int | None = None
+    patch_budget: int = 4096
+    min_pixels: int = 3136            # grpo_ad.py defaults (:54-60)
+    max_pixels: int = 480000          # SC_GRPO script override
+
+
+@dataclasses.dataclass
+class GRPOSection:
+    num_generations: int = 4
+    beta: float = 0.04
+    temperature: float = 0.9
+    top_p: float = 0.9
+    top_k: int = 50
+    max_prompt_length: int = 1024
+    max_completion_length: int = 512
+    reward_funcs: list = dataclasses.field(
+        default_factory=lambda: ["accuracy", "format"]
+    )
+
+
+@dataclasses.dataclass
+class GRPOJobConfig:
+    model: GRPOModelSection = dataclasses.field(default_factory=GRPOModelSection)
+    data: GRPODataSection = dataclasses.field(default_factory=GRPODataSection)
+    grpo: GRPOSection = dataclasses.field(default_factory=GRPOSection)
+    mesh: dict = dataclasses.field(default_factory=dict)
+    optim: dict = dataclasses.field(default_factory=dict)
+    train: dict = dataclasses.field(default_factory=dict)
+
+
+def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
+                             max_prompt_length: int):
+    """(examples, G) -> rollout batch with vision arrays + M-RoPE grids.
+
+    Each example carries pre-encoded prompt_ids plus preprocessed patches
+    and grid_thw; prompts repeat G times consecutively.
+    """
+    import jax.numpy as jnp
+
+    from iadr1_tpu.vision import preprocess as vp
+    from iadr1_tpu.vision.mrope import get_mrope_positions
+
+    vcfg = bundle.cfg.vision
+    pad = tokenizer.pad_token_id or tokenizer.eos_token_id
+
+    def collate(examples, G):
+        P = max_prompt_length
+        rows = [ex for ex in examples for _ in range(G)]
+        B = len(rows)
+        input_ids = np.full((B, P), pad, np.int64)
+        mask = np.zeros((B, P), np.int64)
+        patches_list, grids = [], []
+        for i, ex in enumerate(rows):
+            ids = ex["prompt_ids"][-P:]
+            input_ids[i, P - len(ids):] = ids
+            mask[i, P - len(ids):] = 1
+            patches_list.extend(ex.get("patches", []))
+            grids.extend(ex.get("grid_thw", []))
+        grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
+        pos, deltas = get_mrope_positions(
+            input_ids, grid_thw if len(grids) else None,
+            bundle.cfg.image_token_id, bundle.cfg.vision_start_token_id,
+            attention_mask=mask,
+        )
+        flat = (
+            np.concatenate(patches_list, axis=0)
+            if patches_list else np.zeros((0, vcfg.patch_dim), np.float32)
+        )
+        n = flat.shape[0]
+        budget = cfg.patch_budget
+        if n > budget:
+            raise ValueError(f"patch stream {n} exceeds budget {budget}")
+        flat = np.concatenate(
+            [flat, np.zeros((budget - n, vcfg.patch_dim), np.float32)]
+        )
+        cos, sin = vp.vision_rotary_tables(grid_thw, vcfg.head_dim)
+        cos = np.concatenate([cos, np.ones((budget - n, cos.shape[1]), np.float32)])
+        sin = np.concatenate([sin, np.zeros((budget - n, sin.shape[1]), np.float32)])
+        vsegs = vp.vision_segment_ids(grid_thw, pad_to=budget)
+        rows_idx, cols_idx = np.nonzero(input_ids == bundle.cfg.image_token_id)
+        n_feats = budget // 4
+        srows = np.full(n_feats, B, np.int32)
+        scols = np.zeros(n_feats, np.int32)
+        srows[: len(rows_idx)] = rows_idx
+        scols[: len(cols_idx)] = cols_idx
+        return {
+            "input_ids": jnp.asarray(input_ids, jnp.int32),
+            "attention_mask": jnp.asarray(mask, jnp.int32),
+            "position_ids": jnp.asarray(pos, jnp.int32),
+            "mrope_deltas": jnp.asarray(deltas, jnp.int32),
+            "patches": jnp.asarray(flat),
+            "rot_cos": jnp.asarray(cos), "rot_sin": jnp.asarray(sin),
+            "vision_segments": jnp.asarray(vsegs),
+            "scatter_rows": jnp.asarray(srows),
+            "scatter_cols": jnp.asarray(scols),
+        }
+
+    return collate
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from iadr1_tpu.core import MeshConfig, build_mesh
+    from iadr1_tpu.core.config import dataclass_from_dict, load_config
+    from iadr1_tpu.core.mesh import pytree_shardings
+    from iadr1_tpu.data.mm import expand_image_tokens, qwen2vl_image_seqlen
+    from iadr1_tpu.data.template import get_template
+    from iadr1_tpu.models.params_io import load_safetensors_path
+    from iadr1_tpu.models.registry import bundle_from_hf_config, bundle_from_pretrained
+    from iadr1_tpu.rewards import get_reward_funcs
+    from iadr1_tpu.train import OptimizerConfig, make_optimizer
+    from iadr1_tpu.train.checkpoint import CheckpointManager
+    from iadr1_tpu.train.grpo import GRPOConfig, GRPOTrainer
+    from iadr1_tpu.train.loop import JsonlLogger, LoopConfig
+    from iadr1_tpu.train.prompts import make_conversation
+    from iadr1_tpu.train.state import create_sharded_state
+    from iadr1_tpu.vision.preprocess import qwen2vl_preprocess
+
+    cfg = load_config(GRPOJobConfig, args.config, args.overrides)
+    loop_cfg = dataclass_from_dict(LoopConfig, cfg.train)
+    opt_cfg = dataclass_from_dict(OptimizerConfig, cfg.optim)
+    grpo_cfg = GRPOConfig(
+        num_generations=cfg.grpo.num_generations, beta=cfg.grpo.beta,
+        temperature=cfg.grpo.temperature, top_p=cfg.grpo.top_p,
+        top_k=cfg.grpo.top_k, max_prompt_length=cfg.grpo.max_prompt_length,
+        max_completion_length=cfg.grpo.max_completion_length,
+    )
+
+    dtype = getattr(jnp, cfg.model.dtype)
+    if cfg.model.hf_config:
+        bundle = bundle_from_hf_config(cfg.model.hf_config,
+                                       attention=cfg.model.attention)
+        params = bundle.init_params(jax.random.PRNGKey(cfg.model.seed), dtype=dtype)
+    else:
+        bundle = bundle_from_pretrained(cfg.model.model_name_or_path,
+                                        attention=cfg.model.attention)
+        params = bundle.convert_hf(
+            load_safetensors_path(cfg.model.model_name_or_path), dtype=dtype
+        )
+    tokenizer = AutoTokenizer.from_pretrained(cfg.model.model_name_or_path)
+    template = get_template(cfg.data.template)
+
+    # dataset: RL json rows -> conversations -> encoded prompts (+ vision)
+    with open(cfg.data.dataset_name) as f:
+        raw = json.load(f)
+    if cfg.data.max_samples:
+        raw = raw[: cfg.data.max_samples]
+    examples = []
+    for row in raw:
+        conv = make_conversation(
+            row, image_path=cfg.data.image_path,
+            use_system_prompt=cfg.data.use_system_prompt,
+            single_img=cfg.data.single_img,
+        )
+        ex = {"solution": conv["solution"]}
+        messages = conv["messages"]
+        if bundle.multimodal and conv["images"]:
+            from PIL import Image
+
+            patches, grids, seqlens = [], [], []
+            for img in conv["images"]:
+                pil = Image.open(img) if isinstance(img, str) else img
+                flat, grid = qwen2vl_preprocess(
+                    pil, min_pixels=cfg.data.min_pixels,
+                    max_pixels=cfg.data.max_pixels,
+                )
+                patches.append(flat)
+                grids.append(grid)
+                seqlens.append(qwen2vl_image_seqlen(grid))
+            messages = expand_image_tokens(
+                messages, seqlens, template.mm_style, template.image_token
+            )
+            ex.update(patches=patches, grid_thw=grids)
+        ex["prompt_ids"] = template.encode_prompt(
+            tokenizer, messages, system=conv["system"]
+        )
+        examples.append(ex)
+    print(f"prepared {len(examples)} RL prompts")
+
+    mesh = build_mesh(dataclass_from_dict(MeshConfig, cfg.mesh))
+    shardings = pytree_shardings(bundle.logical_axes(), mesh)
+    params = jax.device_put(params, shardings)
+    ref_dtype = getattr(jnp, cfg.model.ref_dtype)
+    ref_params = jax.tree.map(lambda x: x.astype(ref_dtype), params)
+
+    optimizer, schedule = make_optimizer(
+        dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
+    )
+    state = create_sharded_state(params, optimizer)
+
+    collator = (
+        make_vlm_prompt_collator(bundle, tokenizer, template, cfg.data,
+                                 grpo_cfg.max_prompt_length)
+        if bundle.multimodal else None
+    )
+    trainer = GRPOTrainer(
+        bundle, tokenizer, optimizer, grpo_cfg,
+        get_reward_funcs(cfg.grpo.reward_funcs), state, ref_params,
+        schedule=schedule, template=template, prompt_collator=collator,
+    )
+
+    logger = JsonlLogger(loop_cfg.output_dir, loop_cfg.max_steps)
+    ckpt = CheckpointManager(
+        os.path.join(loop_cfg.output_dir, "checkpoints"),
+        max_to_keep=loop_cfg.keep_checkpoints,
+    )
+    rng = np.random.default_rng(loop_cfg.seed)
+    per_step = max(loop_cfg.batch_size, 1)
+    for step_idx in range(1, loop_cfg.max_steps + 1):
+        idx = rng.choice(len(examples), size=per_step, replace=False)
+        metrics = trainer.step([examples[i] for i in idx])
+        if step_idx % max(loop_cfg.logging_steps, 1) == 0:
+            logger.log(step_idx, metrics)
+        if loop_cfg.save_steps and step_idx % loop_cfg.save_steps == 0:
+            ckpt.save(step_idx, trainer.state)
+    ckpt.save(loop_cfg.max_steps, trainer.state)
+    ckpt.wait()
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -147,7 +147,7 @@ class GRPOTrainer:
     def __init__(self, bundle, tokenizer, optimizer, cfg: GRPOConfig,
                  reward_funcs: Sequence[Callable], state, ref_params,
                  sampling_overrides: dict | None = None, schedule=None,
-                 template=None):
+                 template=None, prompt_collator: Callable | None = None):
         self.bundle = bundle
         self.tokenizer = tokenizer
         self.cfg = cfg
@@ -155,6 +155,9 @@ class GRPOTrainer:
         self.state = state
         self.ref_params = ref_params
         self.template = template
+        # optional VLM collator: (examples, G) -> rollout batch with vision
+        # arrays + M-RoPE positions (see cli/train_grpo.py)
+        self.prompt_collator = prompt_collator
         sampling = SamplingConfig(
             max_new_tokens=cfg.max_completion_length,
             temperature=cfg.temperature, top_p=cfg.top_p, top_k=cfg.top_k,
@@ -199,7 +202,10 @@ class GRPOTrainer:
     def step(self, examples: Sequence[dict]) -> dict:
         """examples: [{"prompt_ids": [...], "solution": str, ...extras}]."""
         G = self.cfg.num_generations
-        batch = self._collate_prompts(examples)
+        if self.prompt_collator is not None:
+            batch = self.prompt_collator(examples, G)
+        else:
+            batch = self._collate_prompts(examples)
         self._rng, sub = jax.random.split(self._rng)
         rollout = self.engine.generate(self.state.params, batch, sub)
 
@@ -230,7 +236,16 @@ class GRPOTrainer:
         prompt_mask = np.asarray(rollout["prompt_mask"])
         full_ids = np.concatenate([prompt_ids, completion_ids], axis=1)
         full_mask = np.concatenate([prompt_mask, completion_mask], axis=1)
-        positions = np.clip(np.cumsum(full_mask, axis=1) - 1, 0, None)
+        B, P = prompt_ids.shape
+        N = completion_ids.shape[1]
+        if "position_ids" in batch:  # M-RoPE: prompt grids + delta positions
+            prompt_pos = np.asarray(batch["position_ids"])       # [3, B, P]
+            deltas = np.asarray(batch["mrope_deltas"])           # [B]
+            comp_pos = (P + deltas[:, None] + np.arange(N)[None, :])
+            comp_pos = np.broadcast_to(comp_pos, (3, B, N))
+            positions = np.concatenate([prompt_pos, comp_pos], axis=-1)
+        else:
+            positions = np.clip(np.cumsum(full_mask, axis=1) - 1, 0, None)
         update_batch = {
             "input_ids": jnp.asarray(full_ids, jnp.int32),
             "segment_ids": jnp.asarray(full_mask, jnp.int32),
@@ -238,8 +253,12 @@ class GRPOTrainer:
             "completion_ids": jnp.asarray(completion_ids, jnp.int32),
             "completion_mask": jnp.asarray(completion_mask, jnp.int32),
             "advantages": jnp.asarray(advantages),
-            "prompt_len": prompt_ids.shape[1],
+            "prompt_len": P,
         }
+        for key in ("patches", "rot_cos", "rot_sin", "vision_segments",
+                    "scatter_rows", "scatter_cols"):
+            if key in batch:
+                update_batch[key] = batch[key]
         self.state, metrics = self.update_step(
             self.state, self.ref_params, update_batch
         )
