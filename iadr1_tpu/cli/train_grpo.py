@@ -77,10 +77,8 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
     """
     import jax.numpy as jnp
 
-    from iadr1_tpu.vision import preprocess as vp
     from iadr1_tpu.vision.mrope import get_mrope_positions
 
-    vcfg = bundle.cfg.vision
     pad = tokenizer.pad_token_id or tokenizer.eos_token_id
 
     def collate(examples, G):
@@ -102,38 +100,17 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
             bundle.cfg.image_token_id, bundle.cfg.vision_start_token_id,
             attention_mask=mask,
         )
-        flat = (
-            np.concatenate(patches_list, axis=0)
-            if patches_list else np.zeros((0, vcfg.patch_dim), np.float32)
-        )
-        n = flat.shape[0]
-        budget = cfg.patch_budget
-        if n > budget:
-            raise ValueError(f"patch stream {n} exceeds budget {budget}")
-        flat = np.concatenate(
-            [flat, np.zeros((budget - n, vcfg.patch_dim), np.float32)]
-        )
-        cos, sin = vp.vision_rotary_tables(grid_thw, vcfg.head_dim)
-        cos = np.concatenate([cos, np.ones((budget - n, cos.shape[1]), np.float32)])
-        sin = np.concatenate([sin, np.zeros((budget - n, sin.shape[1]), np.float32)])
-        vsegs = vp.vision_segment_ids(grid_thw, pad_to=budget)
-        rows_idx, cols_idx = np.nonzero(input_ids == bundle.cfg.image_token_id)
-        n_feats = budget // 4
-        srows = np.full(n_feats, B, np.int32)
-        scols = np.zeros(n_feats, np.int32)
-        srows[: len(rows_idx)] = rows_idx
-        scols[: len(cols_idx)] = cols_idx
-        return {
+        batch = {
             "input_ids": jnp.asarray(input_ids, jnp.int32),
             "attention_mask": jnp.asarray(mask, jnp.int32),
             "position_ids": jnp.asarray(pos, jnp.int32),
             "mrope_deltas": jnp.asarray(deltas, jnp.int32),
-            "patches": jnp.asarray(flat),
-            "rot_cos": jnp.asarray(cos), "rot_sin": jnp.asarray(sin),
-            "vision_segments": jnp.asarray(vsegs),
-            "scatter_rows": jnp.asarray(srows),
-            "scatter_cols": jnp.asarray(scols),
         }
+        arrays = bundle.vision_arrays(
+            input_ids, patches_list, grids, cfg.patch_budget
+        )
+        batch.update({k: jnp.asarray(v) for k, v in arrays.items()})
+        return batch
 
     return collate
 

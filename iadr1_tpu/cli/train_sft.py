@@ -189,10 +189,7 @@ def main(argv=None):
 
     if bundle.multimodal:
         collate = VLMBatchBuilder(
-            image_token_id=bundle.cfg.image_token_id,
-            vision_start_token_id=bundle.cfg.vision_start_token_id,
-            head_dim=vcfg.head_dim,
-            patch_dim=vcfg.patch_dim,
+            bundle=bundle,
             patch_budget=cfg.data.patch_budget,
             min_pixels=cfg.data.min_pixels,
             max_pixels=cfg.data.max_pixels,

@@ -25,18 +25,28 @@ class VLMBatchBuilder:
     """Builds VLM batches from packed rows whose extras carry image info.
 
     extras per segment: {"images": [paths or PIL], "grid_thw": [(t,h,w)],
-    "patches": np [n, patch_dim] (optional, if preprocessed already)}
+    "patches": np [n, patch_dim] (optional, if preprocessed already)}.
+    Family-specific vision arrays (rotary tables, window permutations,
+    scatter indices) come from ``bundle.vision_arrays``.
     """
 
-    image_token_id: int
-    vision_start_token_id: int
-    head_dim: int
-    patch_dim: int
+    bundle: object                 # ModelBundle
     patch_budget: int              # static max patches per batch
     merge_size: int = 2
-    spatial_merge_size: int = 2
     min_pixels: int = 56 * 56
     max_pixels: int = 480000       # reference RL default (SC_GRPO scripts)
+
+    @property
+    def image_token_id(self) -> int:
+        return self.bundle.cfg.image_token_id
+
+    @property
+    def vision_start_token_id(self) -> int:
+        return self.bundle.cfg.vision_start_token_id
+
+    @property
+    def spatial_merge_size(self) -> int:
+        return self.bundle.cfg.vision.spatial_merge_size
 
     def __call__(self, rows: Sequence[dict]) -> dict:
         B = len(rows)
@@ -64,15 +74,6 @@ class VLMBatchBuilder:
                         patches_list.append(flat)
                         grids.append(grid)
 
-        if patches_list:
-            patches = np.concatenate(patches_list, axis=0)
-        else:
-            patches = np.zeros((0, self.patch_dim), np.float32)
-        n_patches = patches.shape[0]
-        if n_patches > self.patch_budget:
-            raise ValueError(
-                f"patch stream {n_patches} exceeds budget {self.patch_budget}"
-            )
         grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
 
         # M-RoPE grids per row (positions restart at each packed segment).
@@ -97,37 +98,18 @@ class VLMBatchBuilder:
                 )
                 position_ids[:, b, span] = pos[:, 0]
 
-        # vision-side arrays padded to the static budget
-        pad = self.patch_budget - n_patches
-        patches = np.concatenate(
-            [patches, np.zeros((pad, self.patch_dim), np.float32)]
-        )
-        cos, sin = vp.vision_rotary_tables(grid_thw, self.head_dim, self.merge_size)
-        cos = np.concatenate([cos, np.ones((pad, cos.shape[1]), np.float32)])
-        sin = np.concatenate([sin, np.zeros((pad, sin.shape[1]), np.float32)])
-        vsegs = vp.vision_segment_ids(grid_thw, pad_to=self.patch_budget)
-
-        # scatter indices: feature i -> (row, col) of the i-th image token;
-        # padded features target the sentinel row B (dropped).
-        rows_idx, cols_idx = np.nonzero(input_ids == self.image_token_id)
-        n_feats = self.patch_budget // (self.merge_size ** 2)
-        scatter_rows = np.full(n_feats, B, np.int32)
-        scatter_cols = np.zeros(n_feats, np.int32)
-        scatter_rows[: len(rows_idx)] = rows_idx
-        scatter_cols[: len(cols_idx)] = cols_idx
-
-        return {
+        batch = {
             "input_ids": input_ids.astype(np.int32),
             "labels": labels.astype(np.int32),
             "segment_ids": segment_ids.astype(np.int32),
             "position_ids": position_ids.astype(np.int32),
-            "patches": patches,
-            "rot_cos": cos,
-            "rot_sin": sin,
-            "vision_segments": vsegs,
-            "scatter_rows": scatter_rows,
-            "scatter_cols": scatter_cols,
         }
+        batch.update(
+            self.bundle.vision_arrays(
+                input_ids, patches_list, grids, self.patch_budget
+            )
+        )
+        return batch
 
 
 def text_batch(rows: Sequence[dict]) -> dict:

@@ -118,36 +118,10 @@ class VLMGenerator:
             batch["position_ids"] = jnp.asarray(pos, jnp.int32)
             batch["mrope_deltas"] = jnp.asarray(deltas, jnp.int32)
         if self.bundle.multimodal:
-            vcfg = self.bundle.cfg.vision
-            flat = (
-                np.concatenate(patches_list, axis=0)
-                if patches_list else np.zeros((0, vcfg.patch_dim), np.float32)
+            arrays = self.bundle.vision_arrays(
+                input_ids, patches_list, grids, self.cfg.patch_budget
             )
-            n = flat.shape[0]
-            budget = self.cfg.patch_budget
-            if n > budget:
-                raise ValueError(f"patch stream {n} exceeds budget {budget}")
-            grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
-            flat = np.concatenate(
-                [flat, np.zeros((budget - n, vcfg.patch_dim), np.float32)]
-            )
-            cos, sin = vp.vision_rotary_tables(grid_thw, vcfg.head_dim)
-            cos = np.concatenate([cos, np.ones((budget - n, cos.shape[1]), np.float32)])
-            sin = np.concatenate([sin, np.zeros((budget - n, sin.shape[1]), np.float32)])
-            vsegs = vp.vision_segment_ids(grid_thw, pad_to=budget)
-            rows_idx, cols_idx = np.nonzero(
-                input_ids == self.bundle.cfg.image_token_id
-            )
-            n_feats = budget // 4
-            srows = np.full(n_feats, B, np.int32)
-            scols = np.zeros(n_feats, np.int32)
-            srows[: len(rows_idx)] = rows_idx
-            scols[: len(cols_idx)] = cols_idx
-            batch.update(
-                patches=jnp.asarray(flat), rot_cos=jnp.asarray(cos),
-                rot_sin=jnp.asarray(sin), vision_segments=jnp.asarray(vsegs),
-                scatter_rows=jnp.asarray(srows), scatter_cols=jnp.asarray(scols),
-            )
+            batch.update({k: jnp.asarray(v) for k, v in arrays.items()})
         return batch
 
     # --- public API ---------------------------------------------------------

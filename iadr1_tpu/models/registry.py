@@ -3,9 +3,15 @@
 The TPU counterpart of the reference's model loader layer
 (llamafactory/model/loader.py load_model + AutoModelForVision2Seq routing,
 sc_grpo_trainer.py:116-137 family dispatch).  Each family exposes a uniform
-bundle: config from an HF config.json dict, param init / HF conversion,
-logical sharding axes, and a ``forward(params, batch) -> logits`` adapter
-consumed by the SFT/GRPO steps and the rollout engine.
+bundle:
+
+* ``forward(params, batch) -> logits``        (training steps)
+* ``apply(params, batch, cache) -> (h, cache)`` (rollout prefill/decode)
+* ``logits_fn(params, hidden) -> logits``
+* ``vision_arrays(input_ids, patches, grids, budget) -> dict``
+  (host-side family-specific vision precompute: rotary tables, segment
+  arrays, window permutations, scatter indices)
+* config/init/convert/logical_axes.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ import os
 from typing import Any, Callable
 
 import jax.numpy as jnp
+import numpy as np
 
 from iadr1_tpu.core.precision import Precision, DEFAULT_PRECISION
 from iadr1_tpu.models import qwen2, qwen2_vl
@@ -31,6 +38,9 @@ class ModelBundle:
     convert_hf: Callable
     logical_axes: Callable
     forward: Callable        # (params, batch, **kw) -> logits [B,T,V]
+    apply: Callable          # (params, batch, cache=None) -> (hidden, cache)
+    logits_fn: Callable      # (params, hidden) -> logits
+    vision_arrays: Callable | None = None
     template: str = "chatml"
 
 
@@ -53,6 +63,27 @@ def _qwen2_text_cfg(hf: dict) -> qwen2.Qwen2Config:
     )
 
 
+def _scatter_indices(input_ids: np.ndarray, image_token_id: int,
+                     n_feat_budget: int, feature_order=None):
+    """Feature -> (row, col) scatter indices; padded features target the
+    sentinel row B (dropped by merge_image_features)."""
+    B = input_ids.shape[0]
+    rows_idx, cols_idx = np.nonzero(input_ids == image_token_id)
+    if feature_order is not None:
+        rows_idx = rows_idx[feature_order]
+        cols_idx = cols_idx[feature_order]
+    srows = np.full(n_feat_budget, B, np.int32)
+    scols = np.zeros(n_feat_budget, np.int32)
+    srows[: len(rows_idx)] = rows_idx
+    scols[: len(cols_idx)] = cols_idx
+    return srows, scols
+
+
+# ---------------------------------------------------------------------------
+# qwen2 (text)
+# ---------------------------------------------------------------------------
+
+
 def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
                       precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
     cfg = _qwen2_text_cfg(hf_config)
@@ -67,20 +98,37 @@ def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
         )
         return qwen2.logits(params, cfg, h, precision)
 
+    def apply(params, batch, cache=None):
+        return qwen2.apply(
+            params, cfg, batch["input_ids"],
+            position_ids=batch["position_ids"],
+            segment_ids=batch.get("segment_ids"),
+            cache=cache, precision=precision,
+        )
+
+    from iadr1_tpu.models.params_io import convert_qwen2
+
     return ModelBundle(
         family="qwen2", cfg=cfg, multimodal=False,
         init_params=lambda key, dtype=jnp.float32: qwen2.init_params(key, cfg, dtype),
-        convert_hf=lambda state, dtype=jnp.float32: __import__(
-            "iadr1_tpu.models.params_io", fromlist=["convert_qwen2"]
-        ).convert_qwen2(state, cfg, dtype=dtype),
+        convert_hf=lambda state, dtype=jnp.float32: convert_qwen2(state, cfg, dtype=dtype),
         logical_axes=lambda: qwen2.logical_axes(cfg),
         forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: qwen2.logits(params, cfg, h, precision),
         template="chatml",
     )
 
 
+# ---------------------------------------------------------------------------
+# qwen2-vl
+# ---------------------------------------------------------------------------
+
+
 def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
                          precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
+    from iadr1_tpu.vision import preprocess as vp
+
     text_hf = hf_config.get("text_config", hf_config)
     vis_hf = hf_config["vision_config"]
     tcfg = _qwen2_text_cfg(text_hf)
@@ -102,20 +150,50 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
         vision_end_token_id=hf_config.get("vision_end_token_id", 151653),
     )
     attn = default_attention(attention)
+    vision_keys = ("patches", "rot_cos", "rot_sin", "vision_segments",
+                   "scatter_rows", "scatter_cols")
 
-    def forward(params, batch, remat=True):
-        h, _ = qwen2_vl.apply(
+    def apply(params, batch, cache=None, remat=False):
+        return qwen2_vl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             patches=batch.get("patches"),
             rot_cos=batch.get("rot_cos"), rot_sin=batch.get("rot_sin"),
             vision_segments=batch.get("vision_segments"),
             scatter_rows=batch.get("scatter_rows"),
             scatter_cols=batch.get("scatter_cols"),
-            segment_ids=batch.get("segment_ids"),
+            segment_ids=batch.get("segment_ids"), cache=cache,
             precision=precision, attention_fn=attn,
             vision_attention_fn=attn, remat=remat,
         )
+
+    def forward(params, batch, remat=True):
+        h, _ = apply(params, batch, remat=remat)
         return qwen2_vl.logits(params, cfg, h, precision)
+
+    def vision_arrays(input_ids, patches_list, grids, patch_budget):
+        grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
+        flat = (
+            np.concatenate(patches_list, axis=0)
+            if patches_list else np.zeros((0, vcfg.patch_dim), np.float32)
+        )
+        n = flat.shape[0]
+        if n > patch_budget:
+            raise ValueError(f"patch stream {n} exceeds budget {patch_budget}")
+        pad = patch_budget - n
+        flat = np.concatenate([flat, np.zeros((pad, vcfg.patch_dim), np.float32)])
+        cos, sin = vp.vision_rotary_tables(grid_thw, vcfg.head_dim)
+        cos = np.concatenate([cos, np.ones((pad, cos.shape[1]), np.float32)])
+        sin = np.concatenate([sin, np.zeros((pad, sin.shape[1]), np.float32)])
+        vsegs = vp.vision_segment_ids(grid_thw, pad_to=patch_budget)
+        merge_unit = vcfg.spatial_merge_size ** 2
+        srows, scols = _scatter_indices(
+            input_ids, cfg.image_token_id, patch_budget // merge_unit
+        )
+        return {
+            "patches": flat, "rot_cos": cos, "rot_sin": sin,
+            "vision_segments": vsegs,
+            "scatter_rows": srows, "scatter_cols": scols,
+        }
 
     return ModelBundle(
         family="qwen2_vl", cfg=cfg, multimodal=True,
@@ -123,6 +201,116 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
         convert_hf=lambda state, dtype=jnp.float32: qwen2_vl.convert_hf(state, cfg, dtype),
         logical_axes=lambda: qwen2_vl.logical_axes(cfg),
         forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: qwen2_vl.logits(params, cfg, h, precision),
+        vision_arrays=vision_arrays,
+        template="qwen2_vl",
+    )
+
+
+# ---------------------------------------------------------------------------
+# qwen2.5-vl
+# ---------------------------------------------------------------------------
+
+
+def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
+                          precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
+    from iadr1_tpu.models import qwen25_vl
+
+    text_hf = hf_config.get("text_config", hf_config)
+    vis_hf = hf_config["vision_config"]
+    tcfg = _qwen2_text_cfg(text_hf)
+    vcfg = qwen25_vl.Qwen25VLVisionConfig(
+        depth=vis_hf.get("depth", 32),
+        hidden_size=vis_hf.get("hidden_size", 1280),
+        intermediate_size=vis_hf.get("intermediate_size", 3420),
+        out_hidden_size=vis_hf.get("out_hidden_size", tcfg.hidden_size),
+        num_heads=vis_hf.get("num_heads", 16),
+        patch_size=vis_hf.get("patch_size", 14),
+        spatial_merge_size=vis_hf.get("spatial_merge_size", 2),
+        temporal_patch_size=vis_hf.get("temporal_patch_size", 2),
+        window_size=vis_hf.get("window_size", 112),
+        fullatt_block_indexes=tuple(
+            vis_hf.get("fullatt_block_indexes", (7, 15, 23, 31))
+        ),
+    )
+    cfg = qwen25_vl.Qwen25VLConfig(
+        text=tcfg, vision=vcfg,
+        image_token_id=hf_config.get("image_token_id", 151655),
+        video_token_id=hf_config.get("video_token_id", 151656),
+        vision_start_token_id=hf_config.get("vision_start_token_id", 151652),
+        vision_end_token_id=hf_config.get("vision_end_token_id", 151653),
+    )
+    attn = default_attention(attention)
+
+    def apply(params, batch, cache=None, remat=False):
+        return qwen25_vl.apply(
+            params, cfg, batch["input_ids"], batch["position_ids"],
+            patches=batch.get("patches"),
+            rot_cos=batch.get("rot_cos"), rot_sin=batch.get("rot_sin"),
+            full_segs=batch.get("full_segs"),
+            window_segs=batch.get("window_segs"),
+            scatter_rows=batch.get("scatter_rows"),
+            scatter_cols=batch.get("scatter_cols"),
+            segment_ids=batch.get("segment_ids"), cache=cache,
+            precision=precision, attention_fn=attn,
+            vision_attention_fn=attn, remat=remat,
+        )
+
+    def forward(params, batch, remat=True):
+        h, _ = apply(params, batch, remat=remat)
+        return qwen25_vl.logits(params, cfg, h, precision)
+
+    def vision_arrays(input_ids, patches_list, grids, patch_budget):
+        grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
+        flat = (
+            np.concatenate(patches_list, axis=0)
+            if patches_list else np.zeros((0, vcfg.patch_dim), np.float32)
+        )
+        n = flat.shape[0]
+        if n > patch_budget:
+            raise ValueError(f"patch stream {n} exceeds budget {patch_budget}")
+        merge_unit = vcfg.spatial_merge_size ** 2
+        if n:
+            arrs = qwen25_vl.qwen25vl_vision_arrays(
+                grid_thw, vcfg, pad_to=patch_budget
+            )
+            flat = flat[arrs["patch_perm"]]
+            flat = np.concatenate(
+                [flat, np.zeros((patch_budget - n, vcfg.patch_dim), np.float32)]
+            )
+            srows, scols = _scatter_indices(
+                input_ids, cfg.image_token_id, patch_budget // merge_unit,
+                feature_order=arrs["feature_order"],
+            )
+            return {
+                "patches": flat,
+                "rot_cos": arrs["rot_cos"], "rot_sin": arrs["rot_sin"],
+                "full_segs": arrs["full_segs"],
+                "window_segs": arrs["window_segs"],
+                "scatter_rows": srows, "scatter_cols": scols,
+            }
+        head = vcfg.head_dim
+        return {
+            "patches": np.zeros((patch_budget, vcfg.patch_dim), np.float32),
+            "rot_cos": np.ones((patch_budget, head), np.float32),
+            "rot_sin": np.zeros((patch_budget, head), np.float32),
+            "full_segs": np.zeros(patch_budget, np.int32),
+            "window_segs": np.zeros(patch_budget, np.int32),
+            "scatter_rows": np.full(patch_budget // merge_unit,
+                                    input_ids.shape[0], np.int32),
+            "scatter_cols": np.zeros(patch_budget // merge_unit, np.int32),
+        }
+
+    return ModelBundle(
+        family="qwen2_5_vl", cfg=cfg, multimodal=True,
+        init_params=lambda key, dtype=jnp.float32: qwen25_vl.init_params(key, cfg, dtype),
+        convert_hf=lambda state, dtype=jnp.float32: qwen25_vl.convert_hf(state, cfg, dtype),
+        logical_axes=lambda: qwen25_vl.logical_axes(cfg),
+        forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: qwen25_vl.logits(params, cfg, h, precision),
+        vision_arrays=vision_arrays,
         template="qwen2_vl",
     )
 
@@ -130,8 +318,10 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
 FAMILY_BUILDERS = {
     "Qwen2ForCausalLM": make_qwen2_bundle,
     "Qwen2VLForConditionalGeneration": make_qwen2_vl_bundle,
+    "Qwen2_5_VLForConditionalGeneration": make_qwen25_vl_bundle,
     "qwen2": make_qwen2_bundle,
     "qwen2_vl": make_qwen2_vl_bundle,
+    "qwen2_5_vl": make_qwen25_vl_bundle,
 }
 
 

@@ -89,7 +89,7 @@ class RolloutEngine:
 
 def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
                    max_len: int, cache_dtype):
-    from iadr1_tpu.models import qwen2, qwen2_vl
+    from iadr1_tpu.models import qwen2
 
     cfg = bundle.cfg
     tcfg = getattr(cfg, "text", cfg)
@@ -109,23 +109,10 @@ def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
         position_ids = jnp.clip(jnp.cumsum(attn_mask, axis=1) - 1, 0)
         deltas = position_ids[:, -1] + 1 - P        # next pos = P + delta
 
-    if bundle.multimodal:
-        hidden, cache = qwen2_vl.apply(
-            params, cfg, input_ids, position_ids,
-            patches=batch.get("patches"),
-            rot_cos=batch.get("rot_cos"), rot_sin=batch.get("rot_sin"),
-            vision_segments=batch.get("vision_segments"),
-            scatter_rows=batch.get("scatter_rows"),
-            scatter_cols=batch.get("scatter_cols"),
-            segment_ids=segs, cache=cache,
-        )
-        logits_fn = lambda h: qwen2_vl.logits(params, cfg, h)
-    else:
-        hidden, cache = qwen2.apply(
-            params, tcfg, input_ids, position_ids=position_ids,
-            segment_ids=segs, cache=cache,
-        )
-        logits_fn = lambda h: qwen2.logits(params, tcfg, h)
+    prefill_batch = {**batch, "position_ids": position_ids,
+                     "segment_ids": segs}
+    hidden, cache = bundle.apply(params, prefill_batch, cache=cache)
+    logits_fn = lambda h: bundle.logits_fn(params, h)
 
     last_logits = logits_fn(hidden[:, -1:, :])[:, 0]          # [B, V]
     rng, sub = jax.random.split(rng)
@@ -144,16 +131,12 @@ def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
             jnp.broadcast_to(pos_t, (3, B, 1)) if mrope else pos_t
         )
         seg = jnp.where(done, 0, 1).astype(jnp.int32)[:, None]
-        if bundle.multimodal:
-            hidden, new_cache = qwen2_vl.apply(
-                params, cfg, token_in[:, None], pos,
-                segment_ids=seg, cache=cache,
-            )
-        else:
-            hidden, new_cache = qwen2.apply(
-                params, tcfg, token_in[:, None], position_ids=pos,
-                segment_ids=seg, cache=cache,
-            )
+        hidden, new_cache = bundle.apply(
+            params,
+            {"input_ids": token_in[:, None], "position_ids": pos,
+             "segment_ids": seg},
+            cache=cache,
+        )
         logits = logits_fn(hidden)[:, 0]
         next_token = sample_token(step_rng, logits, sampling)
         emitted = jnp.where(done, pad, token)
