@@ -94,18 +94,20 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
             mask[i, P - len(ids):] = 1
             patches_list.extend(ex.get("patches", []))
             grids.extend(ex.get("grid_thw", []))
-        grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
-        pos, deltas = get_mrope_positions(
-            input_ids, grid_thw if len(grids) else None,
-            bundle.cfg.image_token_id, bundle.cfg.vision_start_token_id,
-            attention_mask=mask,
-        )
         batch = {
             "input_ids": jnp.asarray(input_ids, jnp.int32),
             "attention_mask": jnp.asarray(mask, jnp.int32),
-            "position_ids": jnp.asarray(pos, jnp.int32),
-            "mrope_deltas": jnp.asarray(deltas, jnp.int32),
         }
+        tcfg = getattr(bundle.cfg, "text", bundle.cfg)
+        if tcfg.mrope_section is not None:
+            grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
+            pos, deltas = get_mrope_positions(
+                input_ids, grid_thw if len(grids) else None,
+                bundle.cfg.image_token_id, bundle.cfg.vision_start_token_id,
+                attention_mask=mask,
+            )
+            batch["position_ids"] = jnp.asarray(pos, jnp.int32)
+            batch["mrope_deltas"] = jnp.asarray(deltas, jnp.int32)
         arrays = bundle.vision_arrays(
             input_ids, patches_list, grids, cfg.patch_budget
         )
@@ -128,7 +130,7 @@ def main(argv=None):
     from iadr1_tpu.core import MeshConfig, build_mesh
     from iadr1_tpu.core.config import dataclass_from_dict, load_config
     from iadr1_tpu.core.mesh import pytree_shardings
-    from iadr1_tpu.data.mm import expand_image_tokens, qwen2vl_image_seqlen
+    from iadr1_tpu.data.mm import expand_image_tokens
     from iadr1_tpu.data.template import get_template
     from iadr1_tpu.models.params_io import load_safetensors_path
     from iadr1_tpu.models.registry import bundle_from_hf_config, bundle_from_pretrained
@@ -139,7 +141,6 @@ def main(argv=None):
     from iadr1_tpu.train.loop import JsonlLogger, LoopConfig
     from iadr1_tpu.train.prompts import make_conversation
     from iadr1_tpu.train.state import create_sharded_state
-    from iadr1_tpu.vision.preprocess import qwen2vl_preprocess
 
     cfg = load_config(GRPOJobConfig, args.config, args.overrides)
     loop_cfg = dataclass_from_dict(LoopConfig, cfg.train)
@@ -185,13 +186,13 @@ def main(argv=None):
             patches, grids, seqlens = [], [], []
             for img in conv["images"]:
                 pil = Image.open(img) if isinstance(img, str) else img
-                flat, grid = qwen2vl_preprocess(
+                flat, grid, seqlen = bundle.preprocess_image(
                     pil, min_pixels=cfg.data.min_pixels,
                     max_pixels=cfg.data.max_pixels,
                 )
                 patches.append(flat)
                 grids.append(grid)
-                seqlens.append(qwen2vl_image_seqlen(grid))
+                seqlens.append(seqlen)
             messages = expand_image_tokens(
                 messages, seqlens, template.mm_style, template.image_token
             )

@@ -65,11 +65,10 @@ def load_tokenizer(path: str):
     return AutoTokenizer.from_pretrained(path)
 
 
-def prepare_rows(cfg: DataSection, tokenizer, template, multimodal: bool,
-                 vision_cfg=None):
+def prepare_rows(cfg: DataSection, tokenizer, template, bundle):
     """registry/json -> aligned -> (mm expand) -> encoded -> packed rows."""
     from iadr1_tpu.data.aligner import align_rows
-    from iadr1_tpu.data.mm import expand_image_tokens, qwen2vl_image_seqlen
+    from iadr1_tpu.data.mm import expand_image_tokens
     from iadr1_tpu.data.packing import pack_examples
     from iadr1_tpu.data.registry import (
         DatasetAttr,
@@ -77,7 +76,6 @@ def prepare_rows(cfg: DataSection, tokenizer, template, multimodal: bool,
         load_json_dataset,
     )
     from iadr1_tpu.data.tokenize import encode_supervised_example
-    from iadr1_tpu.vision.preprocess import qwen2vl_preprocess
 
     if cfg.dataset.endswith(".json") or cfg.dataset.endswith(".jsonl"):
         attr = DatasetAttr(
@@ -98,18 +96,18 @@ def prepare_rows(cfg: DataSection, tokenizer, template, multimodal: bool,
     for rec in records:
         messages = rec["messages"]
         extras = {}
-        if multimodal and rec["images"]:
+        if bundle.multimodal and rec["images"]:
             from PIL import Image
 
             patches, grids, seqlens = [], [], []
             for img in rec["images"]:
                 pil = Image.open(img) if isinstance(img, str) else img
-                flat, grid = qwen2vl_preprocess(
+                flat, grid, seqlen = bundle.preprocess_image(
                     pil, min_pixels=cfg.min_pixels, max_pixels=cfg.max_pixels
                 )
                 patches.append(flat)
                 grids.append(grid)
-                seqlens.append(qwen2vl_image_seqlen(grid))
+                seqlens.append(seqlen)
             messages = expand_image_tokens(
                 messages, seqlens, template.mm_style, template.image_token
             )
@@ -175,8 +173,7 @@ def main(argv=None):
     tokenizer = load_tokenizer(cfg.model.model_name_or_path)
     template = get_template(cfg.data.template)
 
-    vcfg = getattr(bundle.cfg, "vision", None)
-    rows = prepare_rows(cfg.data, tokenizer, template, bundle.multimodal, vcfg)
+    rows = prepare_rows(cfg.data, tokenizer, template, bundle)
     print(f"packed {len(rows)} rows of length {cfg.data.cutoff_len}")
 
     mesh = build_mesh(MeshConfig(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp))

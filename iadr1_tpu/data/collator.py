@@ -67,7 +67,7 @@ class VLMBatchBuilder:
                         from PIL import Image
 
                         pil = Image.open(img) if isinstance(img, str) else img
-                        flat, grid = vp.qwen2vl_preprocess(
+                        flat, grid, _ = self.bundle.preprocess_image(
                             pil, min_pixels=self.min_pixels,
                             max_pixels=self.max_pixels,
                         )
@@ -76,27 +76,31 @@ class VLMBatchBuilder:
 
         grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
 
-        # M-RoPE grids per row (positions restart at each packed segment).
-        from iadr1_tpu.vision.mrope import get_mrope_positions
+        # positions per packed segment: M-RoPE grids for qwen-vl families,
+        # the rows' plain restarting positions otherwise.
+        tcfg = getattr(self.bundle.cfg, "text", self.bundle.cfg)
+        if tcfg.mrope_section is not None:
+            from iadr1_tpu.vision.mrope import get_mrope_positions
 
-        position_ids = np.zeros((3, B, T), np.int64)
-        gi = 0
-        for b, r in enumerate(rows):
-            segs = r["segment_ids"]
-            for s in np.unique(segs[segs != 0]):
-                span = segs == s
-                ids_span = input_ids[b][span][None]
-                n_imgs = int(np.sum(ids_span == self.image_token_id) > 0)
-                # count images in this segment by vision_start occurrences
-                n_starts = int(np.sum(ids_span == self.vision_start_token_id))
-                seg_grids = grid_thw[gi : gi + n_starts]
-                gi += n_starts
-                pos, _ = get_mrope_positions(
-                    ids_span, seg_grids if n_starts else None,
-                    self.image_token_id, self.vision_start_token_id,
-                    spatial_merge_size=self.spatial_merge_size,
-                )
-                position_ids[:, b, span] = pos[:, 0]
+            position_ids = np.zeros((3, B, T), np.int64)
+            gi = 0
+            for b, r in enumerate(rows):
+                segs = r["segment_ids"]
+                for s in np.unique(segs[segs != 0]):
+                    span = segs == s
+                    ids_span = input_ids[b][span][None]
+                    # count images in this segment by vision_start markers
+                    n_starts = int(np.sum(ids_span == self.vision_start_token_id))
+                    seg_grids = grid_thw[gi : gi + n_starts]
+                    gi += n_starts
+                    pos, _ = get_mrope_positions(
+                        ids_span, seg_grids if n_starts else None,
+                        self.image_token_id, self.vision_start_token_id,
+                        spatial_merge_size=self.spatial_merge_size,
+                    )
+                    position_ids[:, b, span] = pos[:, 0]
+        else:
+            position_ids = np.stack([r["position_ids"] for r in rows])
 
         batch = {
             "input_ids": input_ids.astype(np.int32),

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iadr1_tpu.data.mm import expand_image_tokens, qwen2vl_image_seqlen
+from iadr1_tpu.data.mm import expand_image_tokens
 from iadr1_tpu.train.rollout import RolloutEngine, SamplingConfig
 from iadr1_tpu.vision import preprocess as vp
 from iadr1_tpu.vision.mrope import get_mrope_positions
@@ -69,13 +69,13 @@ class VLMGenerator:
             from PIL import Image
 
             pil = Image.open(img) if isinstance(img, str) else img
-            flat, grid = vp.qwen2vl_preprocess(
+            flat, grid, seqlen = self.bundle.preprocess_image(
                 pil, min_pixels=self.cfg.min_pixels,
                 max_pixels=self.cfg.max_pixels,
             )
             patches.append(flat)
             grids.append(grid)
-            seqlens.append(qwen2vl_image_seqlen(grid))
+            seqlens.append(seqlen)
         if self.bundle.multimodal and seqlens:
             messages = expand_image_tokens(
                 messages, seqlens, self.template.mm_style,

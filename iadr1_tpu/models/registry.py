@@ -41,6 +41,10 @@ class ModelBundle:
     apply: Callable          # (params, batch, cache=None) -> (hidden, cache)
     logits_fn: Callable      # (params, hidden) -> logits
     vision_arrays: Callable | None = None
+    # (pil_image, min_pixels=..., max_pixels=...) -> (patches, grid, seqlen):
+    # family-specific preprocessing; ``seqlen`` is the number of image tokens
+    # the placeholder expands to.
+    preprocess_image: Callable | None = None
     template: str = "chatml"
 
 
@@ -61,6 +65,22 @@ def _qwen2_text_cfg(hf: dict) -> qwen2.Qwen2Config:
         if hf.get("rope_scaling") and "mrope_section" in hf["rope_scaling"]
         else None,
     )
+
+
+def _qwen_preprocess_image(vcfg):
+    def preprocess(pil, min_pixels=56 * 56, max_pixels=480000):
+        from iadr1_tpu.vision.preprocess import qwen2vl_preprocess
+
+        flat, grid = qwen2vl_preprocess(
+            pil, patch_size=vcfg.patch_size,
+            merge_size=vcfg.spatial_merge_size,
+            temporal_patch_size=vcfg.temporal_patch_size,
+            min_pixels=min_pixels, max_pixels=max_pixels,
+        )
+        seqlen = int(np.prod(grid)) // (vcfg.spatial_merge_size ** 2)
+        return flat, grid, seqlen
+
+    return preprocess
 
 
 def _scatter_indices(input_ids: np.ndarray, image_token_id: int,
@@ -204,6 +224,7 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
         apply=apply,
         logits_fn=lambda params, h: qwen2_vl.logits(params, cfg, h, precision),
         vision_arrays=vision_arrays,
+        preprocess_image=_qwen_preprocess_image(vcfg),
         template="qwen2_vl",
     )
 
@@ -311,7 +332,127 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
         apply=apply,
         logits_fn=lambda params, h: qwen25_vl.logits(params, cfg, h, precision),
         vision_arrays=vision_arrays,
+        preprocess_image=_qwen_preprocess_image(vcfg),
         template="qwen2_vl",
+    )
+
+
+# ---------------------------------------------------------------------------
+# llava-onevision
+# ---------------------------------------------------------------------------
+
+
+def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
+                                precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
+    from iadr1_tpu.models import llava_onevision, siglip
+    from iadr1_tpu.vision import anyres
+
+    text_hf = hf_config["text_config"]
+    vis_hf = hf_config["vision_config"]
+    tcfg = _qwen2_text_cfg(text_hf)
+    vcfg = siglip.SiglipVisionConfig(
+        hidden_size=vis_hf.get("hidden_size", 1152),
+        intermediate_size=vis_hf.get("intermediate_size", 4304),
+        num_hidden_layers=vis_hf.get("num_hidden_layers", 27),
+        num_attention_heads=vis_hf.get("num_attention_heads", 16),
+        image_size=vis_hf.get("image_size", 384),
+        patch_size=vis_hf.get("patch_size", 14),
+        layer_norm_eps=vis_hf.get("layer_norm_eps", 1e-6),
+    )
+    cfg = llava_onevision.LlavaOnevisionConfig(
+        text=tcfg, vision=vcfg,
+        image_token_id=hf_config.get("image_token_index",
+                                     hf_config.get("image_token_id", 151646)),
+        image_grid_pinpoints=tuple(
+            tuple(p) for p in hf_config.get("image_grid_pinpoints", [])
+        ) or ((384, 384), (384, 768), (768, 384), (768, 768),
+              (1152, 384), (384, 1152)),
+        vision_aspect_ratio=hf_config.get("vision_aspect_ratio", "anyres_max_9"),
+    )
+    attn = default_attention(attention)
+    g = vcfg.grid
+
+    def apply(params, batch, cache=None, remat=False):
+        return llava_onevision.apply(
+            params, cfg, batch["input_ids"], batch["position_ids"],
+            tiles=batch.get("tiles"),
+            pack_src=batch.get("pack_src"),
+            pack_weights=batch.get("pack_weights"),
+            newline_mask=batch.get("newline_mask"),
+            scatter_rows=batch.get("scatter_rows"),
+            scatter_cols=batch.get("scatter_cols"),
+            segment_ids=batch.get("segment_ids"), cache=cache,
+            precision=precision, attention_fn=attn, remat=remat,
+        )
+
+    def forward(params, batch, remat=True):
+        h, _ = apply(params, batch, remat=remat)
+        return llava_onevision.logits(params, cfg, h, precision)
+
+    def preprocess_image(pil, min_pixels=None, max_pixels=None):
+        tiles, grid = anyres.onevision_tiles(
+            pil, cfg.image_grid_pinpoints, vcfg.image_size
+        )
+        patches = anyres.patchify_tiles(tiles, vcfg.patch_size)
+        full_grid = (grid[0], grid[1], pil.height, pil.width)
+        seqlen = anyres.onevision_feature_len(
+            (pil.height, pil.width), grid, g, cfg.max_tiles
+        )
+        return patches, full_grid, seqlen
+
+    def vision_arrays(input_ids, patches_list, grids, patch_budget):
+        """patches_list: [n_tiles_i, g^2, patch_dim] per image; grids:
+        (n_h, n_w, orig_h, orig_w) per image.  patch_budget counts patch
+        vectors, i.e. tile budget = patch_budget // g^2."""
+        B = input_ids.shape[0]
+        tile_budget = patch_budget // (g * g)
+        feat_budget = tile_budget * (g * g + g)   # + newline headroom
+        patch_dim = vcfg.patch_dim
+        tiles = np.zeros((tile_budget, g * g, patch_dim), np.float32)
+        src = np.zeros((feat_budget, 4), np.int64)
+        wts = np.zeros((feat_budget, 4), np.float32)
+        newline = np.zeros(feat_budget, bool)
+        srows = np.full(feat_budget, B, np.int32)
+        scols = np.zeros(feat_budget, np.int32)
+
+        rows_idx, cols_idx = np.nonzero(input_ids == cfg.image_token_id)
+        tile_off, feat_off, tok_off = 0, 0, 0
+        for p, grid in zip(patches_list, grids):
+            n_h, n_w, oh, ow = grid
+            n = p.shape[0]
+            if tile_off + n > tile_budget:
+                raise ValueError("tile stream exceeds budget")
+            tiles[tile_off : tile_off + n] = p
+            plan = anyres.onevision_pack_plan((oh, ow), (n_h, n_w), g,
+                                              cfg.max_tiles)
+            F = plan["length"]
+            if feat_off + F > feat_budget:
+                raise ValueError("feature stream exceeds budget")
+            src[feat_off : feat_off + F] = plan["src"] + tile_off * g * g
+            wts[feat_off : feat_off + F] = plan["weights"]
+            newline[feat_off : feat_off + F] = plan["newline"]
+            srows[feat_off : feat_off + F] = rows_idx[tok_off : tok_off + F]
+            scols[feat_off : feat_off + F] = cols_idx[tok_off : tok_off + F]
+            tile_off += n
+            feat_off += F
+            tok_off += F
+        return {
+            "tiles": tiles, "pack_src": src, "pack_weights": wts,
+            "newline_mask": newline,
+            "scatter_rows": srows, "scatter_cols": scols,
+        }
+
+    return ModelBundle(
+        family="llava_onevision", cfg=cfg, multimodal=True,
+        init_params=lambda key, dtype=jnp.float32: llava_onevision.init_params(key, cfg, dtype),
+        convert_hf=lambda state, dtype=jnp.float32: llava_onevision.convert_hf(state, cfg, dtype),
+        logical_axes=lambda: llava_onevision.logical_axes(cfg),
+        forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: llava_onevision.logits(params, cfg, h, precision),
+        vision_arrays=vision_arrays,
+        preprocess_image=preprocess_image,
+        template="llava_next_qwen",
     )
 
 
@@ -319,9 +460,11 @@ FAMILY_BUILDERS = {
     "Qwen2ForCausalLM": make_qwen2_bundle,
     "Qwen2VLForConditionalGeneration": make_qwen2_vl_bundle,
     "Qwen2_5_VLForConditionalGeneration": make_qwen25_vl_bundle,
+    "LlavaOnevisionForConditionalGeneration": make_llava_onevision_bundle,
     "qwen2": make_qwen2_bundle,
     "qwen2_vl": make_qwen2_vl_bundle,
     "qwen2_5_vl": make_qwen25_vl_bundle,
+    "llava_onevision": make_llava_onevision_bundle,
 }
 
 
