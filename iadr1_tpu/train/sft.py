@@ -47,6 +47,95 @@ def sft_loss(logits: jax.Array, labels: jax.Array) -> tuple[jax.Array, dict]:
     return loss, {"loss": loss, "accuracy": acc, "n_label_tokens": mask.sum()}
 
 
+def chunked_sft_loss(
+    hidden: jax.Array,        # [B, T, H] final hidden states
+    head_kernel: jax.Array,   # [H, V]
+    labels: jax.Array,        # [B, T]
+    chunk_size: int = 512,
+    logits_dtype=jnp.float32,
+) -> tuple[jax.Array, dict]:
+    """Masked CE without materializing the [B, T, V] logits tensor.
+
+    The LM-head matmul + softmax-CE run chunk-by-chunk over the flattened
+    token stream under lax.scan with rematerialization, so peak memory is
+    one [chunk, V] block instead of the full logits (the reference relies on
+    HF's fused CE; at vocab 151936 and seq 4096 the full tensor is 2.5 GB per
+    row in f32, the main batch-size limiter).
+    """
+    B, T, H = hidden.shape
+    V = head_kernel.shape[1]
+    h = hidden[:, :-1].reshape(-1, H)
+    t = labels[:, 1:].reshape(-1)
+    mask = t != IGNORE_INDEX
+    safe_t = jnp.where(mask, t, 0)
+
+    N = h.shape[0]
+    pad = (-N) % chunk_size
+    h = jnp.pad(h, ((0, pad), (0, 0)))
+    safe_t = jnp.pad(safe_t, (0, pad))
+    mask_p = jnp.pad(mask, (0, pad))
+    n_chunks = h.shape[0] // chunk_size
+
+    h = h.reshape(n_chunks, chunk_size, H)
+    safe_t = safe_t.reshape(n_chunks, chunk_size)
+    mask_p = mask_p.reshape(n_chunks, chunk_size)
+
+    @jax.checkpoint
+    def chunk_fn(carry, xs):
+        hc, tc, mc = xs
+        logits = jnp.einsum(
+            "ch,hv->cv", hc, head_kernel.astype(hc.dtype),
+            preferred_element_type=logits_dtype,
+        )
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, tc[:, None], axis=-1)[:, 0]
+        token_loss = jnp.where(mc, lse - picked, 0.0)
+        correct = jnp.where(mc, jnp.argmax(logits, axis=-1) == tc, False)
+        loss_sum, acc_sum = carry
+        return (loss_sum + token_loss.sum(), acc_sum + correct.sum()), None
+
+    (loss_sum, acc_sum), _ = jax.lax.scan(
+        chunk_fn, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (h, safe_t, mask_p),
+    )
+    n_tokens = jnp.maximum(mask.sum(), 1)
+    loss = loss_sum / n_tokens
+    return loss, {
+        "loss": loss,
+        "accuracy": acc_sum / n_tokens,
+        "n_label_tokens": mask.sum(),
+    }
+
+
+def make_chunked_sft_step(
+    hidden_fn: Callable[[Any, dict], jax.Array],
+    head_kernel_fn: Callable[[Any], jax.Array],
+    optimizer,
+    schedule=None,
+    donate: bool = True,
+    chunk_size: int = 512,
+):
+    """SFT step with the memory-efficient chunked CE loss."""
+
+    def step(state, batch):
+        def loss_fn(params):
+            hidden = hidden_fn(params, batch)
+            return chunked_sft_loss(
+                hidden, head_kernel_fn(params), batch["labels"], chunk_size
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, optimizer)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        if schedule is not None:
+            metrics["learning_rate"] = schedule(state.step)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_sft_step(
     forward_fn: Callable[[Any, dict], jax.Array],
     optimizer,

@@ -133,7 +133,7 @@ def vision_rotary_ids(grid_thw, merge_size: int = 2) -> np.ndarray:
 
     [sum(t*h*w), 2] int32, matching Qwen2VisionTransformer.rot_pos_emb.
     """
-    out = []
+    out = [np.zeros((0, 2), np.int64)]
     for t, h, w in grid_thw:
         hpos = np.broadcast_to(np.arange(h)[:, None], (h, w))
         wpos = np.broadcast_to(np.arange(w)[None, :], (h, w))
@@ -157,6 +157,9 @@ def vision_rotary_tables(
     w position; the half-table is duplicated for the rotate-half convention.
     """
     ids = vision_rotary_ids(grid_thw, merge_size)  # [P, 2]
+    if ids.shape[0] == 0:
+        return (np.ones((0, head_dim), np.float32),
+                np.zeros((0, head_dim), np.float32))
     dim = head_dim // 2
     inv_freq = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
     freqs = ids[..., None].astype(np.float32) * inv_freq  # [P, 2, dim/2]
