@@ -40,10 +40,62 @@ def greedy_knapsack(lengths: Sequence[int], capacity: int) -> list[list[int]]:
     return bins
 
 
+def _pack_examples_native(kept: Sequence[dict], cutoff_len: int,
+                          pad_token_id: int, lib) -> list[dict]:
+    """C++ fast path: knapsack + row assembly in one native pass."""
+    from iadr1_tpu import native
+
+    n = len(kept)
+    lengths = np.asarray([len(ex["input_ids"]) for ex in kept], np.int64)
+    tokens = np.concatenate(
+        [np.asarray(ex["input_ids"], np.int32) for ex in kept]
+    ) if n else np.zeros(0, np.int32)
+    labels = np.concatenate(
+        [np.asarray(ex["labels"], np.int32) for ex in kept]
+    ) if n else np.zeros(0, np.int32)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+
+    indices = np.zeros(n, np.int64)
+    bin_sizes = np.zeros(max(n, 1), np.int64)
+    n_bins = lib.greedy_knapsack(
+        native.as_i64(lengths), n, cutoff_len,
+        native.as_i64(indices), native.as_i64(bin_sizes),
+    )
+    out_ids = np.empty((n_bins, cutoff_len), np.int32)
+    out_labels = np.empty((n_bins, cutoff_len), np.int32)
+    out_segs = np.empty((n_bins, cutoff_len), np.int32)
+    out_pos = np.empty((n_bins, cutoff_len), np.int32)
+    lib.pack_rows(
+        native.as_i32(tokens), native.as_i32(labels),
+        native.as_i64(offsets), native.as_i64(indices),
+        native.as_i64(bin_sizes), n_bins, cutoff_len,
+        pad_token_id, IGNORE_INDEX,
+        native.as_i32(out_ids), native.as_i32(out_labels),
+        native.as_i32(out_segs), native.as_i32(out_pos),
+    )
+    rows = []
+    item = 0
+    for b in range(n_bins):
+        extras = []
+        for s in range(int(bin_sizes[b])):
+            ex = kept[int(indices[item])]
+            if "extras" in ex:
+                extras.append(ex["extras"])
+            item += 1
+        rows.append({
+            "input_ids": out_ids[b], "labels": out_labels[b],
+            "segment_ids": out_segs[b], "position_ids": out_pos[b],
+            "extras": extras,
+        })
+    return rows
+
+
 def pack_examples(
     examples: Sequence[dict],
     cutoff_len: int,
     pad_token_id: int,
+    use_native: bool = True,
 ) -> list[dict]:
     """Pack encoded examples into fixed-length rows with segment ids.
 
@@ -60,6 +112,14 @@ def pack_examples(
     supervised.py:166-168).
     """
     kept = [ex for ex in examples if len(ex["input_ids"]) <= cutoff_len]
+
+    if use_native:
+        from iadr1_tpu import native
+
+        lib = native.load()
+        if lib is not None:
+            return _pack_examples_native(kept, cutoff_len, pad_token_id, lib)
+
     lengths = [len(ex["input_ids"]) for ex in kept]
 
     by_length: dict[int, list[int]] = {}
