@@ -34,6 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+# lse/di residuals are stored [B, H, T, RES_LANES]: 8 is the f32 sublane
+# minimum -- 16x less HBM than lane-padded (the residual buffers dominate
+# backward HBM traffic at [B=8, H=14, T=4096])
+RES_LANES = 8
 
 
 class BlockSizes(NamedTuple):
@@ -160,11 +164,11 @@ def _fwd(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
-            pl.BlockSpec((1, 1, bq, LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+            pl.BlockSpec((1, 1, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, T, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T, RES_LANES), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, LANES), jnp.float32),
@@ -239,9 +243,12 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, q_seg_ref, kv_seg_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
-    *, scale: float, causal: bool, num_q_blocks: int,
+    *, scale: float, causal: bool, num_q_blocks: int, group: int,
 ):
-    # grid: (batch, q_head, kv_block, q_block) -- q innermost.
+    # grid: (batch, KV head, kv_block, q_block) -- q innermost; the GQA
+    # group of query heads sharing this kv head is looped statically inside,
+    # so dk/dv accumulate across the group with no redundant recompute or
+    # post-hoc reduction.
     kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
     block_q = q_ref.shape[2]
     block_k = k_ref.shape[2]
@@ -257,35 +264,39 @@ def _bwd_dkv_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, :1]
-        di = di_ref[0, 0][:, :1]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
         q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
         kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-        p = jnp.exp(s - lse)                                     # [bq, bk]
-        dv_scratch[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - di) * scale                               # [bq, bk]
-        dk_scratch[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for g in range(group):
+            q = q_ref[0, g]
+            do = do_ref[0, g].astype(jnp.float32)
+            lse = lse_ref[0, g][:, :1]
+            di = di_ref[0, g][:, :1]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask is not None:
+                s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+
+            p = jnp.exp(s - lse)                                 # [bq, bk]
+            dv_scratch[...] += jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - di) * scale                           # [bq, bk]
+            dk_scratch[...] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _store():
@@ -302,7 +313,7 @@ def _bwd(
     group = H // Hkv
 
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
-    di = jnp.broadcast_to(di[..., None], (B, H, T, LANES))
+    di = jnp.broadcast_to(di[..., None], (B, H, T, RES_LANES))
 
     # --- dq ---------------------------------------------------------------
     bq, bk = min(blocks.block_q_dq, T), min(blocks.block_k_dq, S)
@@ -312,8 +323,8 @@ def _bwd(
         pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
         pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
         pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bq), lambda b, h, q_, kv: (b, 0, q_)),
         pl.BlockSpec((1, 1, bk), lambda b, h, q_, kv: (b, 0, kv)),
     ]
@@ -335,35 +346,36 @@ def _bwd(
         interpret=interpret,
     )(*args)
 
-    # --- dk/dv (per q-head, reduced over GQA groups afterwards) ------------
+    # --- dk/dv: grid over KV heads, GQA group looped inside ----------------
     bq, bk = min(blocks.block_q_dkv, T), min(blocks.block_k_dkv, S)
     nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, kv, q_: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h // group, kv, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h // group, kv, 0)),
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, kv, q_: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, kv, q_: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bq, LANES), lambda b, h, kv, q_: (b, h, q_, 0)),
+        pl.BlockSpec((1, group, bq, D), lambda b, h, kv, q_: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h, kv, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h, kv, 0)),
+        pl.BlockSpec((1, group, bq, D), lambda b, h, kv, q_: (b, h, q_, 0)),
+        pl.BlockSpec((1, group, bq, RES_LANES), lambda b, h, kv, q_: (b, h, q_, 0)),
+        pl.BlockSpec((1, group, bq, RES_LANES), lambda b, h, kv, q_: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bq), lambda b, h, kv, q_: (b, 0, q_)),
         pl.BlockSpec((1, 1, bk), lambda b, h, kv, q_: (b, 0, kv)),
     ]
     args = [q, k, v, do, lse, di, q_segment_ids[:, None, :],
             kv_segment_ids[:, None, :]]
 
-    dk_h, dv_h = pl.pallas_call(
+    dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, scale=scale, causal=causal, num_q_blocks=nq
+            _bwd_dkv_kernel, scale=scale, causal=causal, num_q_blocks=nq,
+            group=group,
         ),
-        grid=(B, H, nkv, nq),
+        grid=(B, Hkv, nkv, nq),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h, kv, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, h, kv, q_: (b, h, kv, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, S, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, S, D), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, D), jnp.float32),
@@ -375,11 +387,6 @@ def _bwd(
         interpret=interpret,
     )(*args)
 
-    if group > 1:
-        dk = dk_h.reshape(B, Hkv, group, S, D).sum(axis=2)
-        dv = dv_h.reshape(B, Hkv, group, S, D).sum(axis=2)
-    else:
-        dk, dv = dk_h, dv_h
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -134,7 +134,7 @@ def apply(
     attention_fn: Callable | None = None,
     remat: bool = False,
 ) -> tuple[jax.Array, dict | None]:
-    embeds = params["text"]["embed"]["weight"][input_ids].astype(
+    embeds = common.embed_lookup(params["text"]["embed"]["weight"], input_ids).astype(
         precision.compute_dtype
     )
     if tiles is not None:

@@ -224,7 +224,7 @@ def apply(
     ``segment_ids``: [B, T] packing segments (0 = padding).
     """
     if inputs_embeds is None:
-        inputs_embeds = params["embed"]["weight"][input_ids]
+        inputs_embeds = common.embed_lookup(params["embed"]["weight"], input_ids)
     h = inputs_embeds.astype(precision.compute_dtype)
     B, T, _ = h.shape
 

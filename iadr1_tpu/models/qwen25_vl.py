@@ -396,7 +396,7 @@ def apply(
 ) -> tuple[jax.Array, dict | None]:
     from iadr1_tpu.models.qwen2_vl import merge_image_features
 
-    embeds = params["text"]["embed"]["weight"][input_ids].astype(
+    embeds = common.embed_lookup(params["text"]["embed"]["weight"], input_ids).astype(
         precision.compute_dtype
     )
     if patches is not None:

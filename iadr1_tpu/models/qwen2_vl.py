@@ -342,7 +342,7 @@ def apply(
     remat: bool = False,
 ) -> tuple[jax.Array, dict | None]:
     """Full VLM forward -> (hidden [B, T, hid], new_cache)."""
-    embeds = params["text"]["embed"]["weight"][input_ids].astype(
+    embeds = common.embed_lookup(params["text"]["embed"]["weight"], input_ids).astype(
         precision.compute_dtype
     )
     if patches is not None:
