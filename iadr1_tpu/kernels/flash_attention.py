@@ -41,12 +41,16 @@ RES_LANES = 8
 
 
 class BlockSizes(NamedTuple):
-    block_q: int = 128
-    block_k: int = 128
-    block_q_dkv: int = 128
-    block_k_dkv: int = 128
-    block_q_dq: int = 128
-    block_k_dq: int = 128
+    # 512 tiles amortize the per-grid-cell sequencing overhead that dominates
+    # at 128 with small head_dim (measured 20x step-time difference at
+    # B=8, T=4096, D=64 on v5e); larger q blocks OOM the dkv kernel's
+    # grouped-query VMEM footprint.
+    block_q: int = 512
+    block_k: int = 512
+    block_q_dkv: int = 512
+    block_k_dkv: int = 512
+    block_q_dq: int = 512
+    block_k_dq: int = 512
 
 
 def _tile_mask(

@@ -1,0 +1,160 @@
+"""LLaVA-1.5 and LLaVA-NeXT (1.6): CLIP tower + MLP projector + llama-style
+decoder (our Qwen2 module with attention_bias=False).
+
+Semantics match HF ``LlavaForConditionalGeneration`` (single 336x336 image,
+576 feature tokens, vision_feature_layer=-2, strategy "default" drops CLS)
+and ``LlavaNextForConditionalGeneration`` (anyres tiles + unpad + newline,
+same packing as OneVision but without the anyres_max downscale).  These are
+the reference's LLaVA-1.5-7B/13B and LLaVA-1.6-8B/34B families
+(README.md:233-243; templates "llava" / "llava_next",
+llamafactory/data/template.py:834-853).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from iadr1_tpu.core.precision import Precision, DEFAULT_PRECISION
+from iadr1_tpu.models import clip_vit, common, qwen2
+from iadr1_tpu.models.common import dense
+from iadr1_tpu.models.params_io import _get
+from iadr1_tpu.models.qwen2_vl import merge_image_features
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    text: qwen2.Qwen2Config
+    vision: clip_vit.ClipVisionConfig
+    image_token_id: int = 32000
+    vision_feature_layer: int = -2
+    vision_feature_select_strategy: str = "default"
+    # NeXT-only:
+    anyres: bool = False
+    image_grid_pinpoints: tuple = ()
+
+    @property
+    def tower_layers(self) -> int:
+        return self.vision.num_hidden_layers + 1 + self.vision_feature_layer
+
+
+def init_params(key, cfg: LlavaConfig, dtype=jnp.float32) -> dict:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    hid = cfg.text.hidden_size
+    E = cfg.vision.hidden_size
+    params = {
+        "text": qwen2.init_params(k1, cfg.text, dtype),
+        "vision": clip_vit.init_params(k2, cfg.vision, dtype),
+        "projector": {
+            "fc1": {"kernel": common.dense_init(k3, E, hid, dtype),
+                    "bias": jnp.zeros((hid,), dtype)},
+            "fc2": {"kernel": common.dense_init(k4, hid, hid, dtype),
+                    "bias": jnp.zeros((hid,), dtype)},
+        },
+    }
+    if cfg.anyres:
+        params["image_newline"] = jnp.zeros((hid,), dtype)
+    return params
+
+
+def logical_axes(cfg: LlavaConfig) -> dict:
+    axes = {
+        "text": qwen2.logical_axes(cfg.text),
+        "vision": clip_vit.logical_axes(cfg.vision),
+        "projector": {
+            "fc1": {"kernel": ("embed", "mlp"), "bias": ("mlp",)},
+            "fc2": {"kernel": ("mlp", "embed"), "bias": ("norm",)},
+        },
+    }
+    if cfg.anyres:
+        axes["image_newline"] = ("norm",)
+    return axes
+
+
+def convert_hf(state, cfg: LlavaConfig, dtype=jnp.float32) -> dict:
+    from iadr1_tpu.models.params_io import convert_qwen2
+
+    if any(k.startswith("model.language_model.") for k in state):
+        lm_prefix = "model.language_model."
+        vt_prefix = "model.vision_tower.vision_model."
+        proj_prefix = "model.multi_modal_projector."
+        newline_key = "model.image_newline"
+    else:
+        lm_prefix = "language_model.model."
+        vt_prefix = "vision_tower.vision_model."
+        proj_prefix = "multi_modal_projector."
+        newline_key = "image_newline"
+    params = {
+        "text": convert_qwen2(state, cfg.text, prefix=lm_prefix, dtype=dtype),
+        "vision": clip_vit.convert_hf(state, cfg.vision, prefix=vt_prefix, dtype=dtype),
+        "projector": {
+            "fc1": {"kernel": _get(state, proj_prefix + "linear_1.weight", True, dtype),
+                    "bias": _get(state, proj_prefix + "linear_1.bias", dtype=dtype)},
+            "fc2": {"kernel": _get(state, proj_prefix + "linear_2.weight", True, dtype),
+                    "bias": _get(state, proj_prefix + "linear_2.bias", dtype=dtype)},
+        },
+    }
+    if cfg.anyres:
+        params["image_newline"] = _get(state, newline_key, dtype=dtype)
+    return params
+
+
+def project(params, feats):
+    p = params["projector"]
+    h = dense(feats, p["fc1"]["kernel"], p["fc1"]["bias"])
+    h = jax.nn.gelu(h, approximate=False)
+    return dense(h, p["fc2"]["kernel"], p["fc2"]["bias"])
+
+
+def apply(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: jax.Array,
+    position_ids: jax.Array,
+    *,
+    tiles: jax.Array | None = None,          # [n, num_patches, patch_dim]
+    pack_src: jax.Array | None = None,       # anyres only
+    pack_weights: jax.Array | None = None,
+    newline_mask: jax.Array | None = None,
+    scatter_rows: jax.Array | None = None,
+    scatter_cols: jax.Array | None = None,
+    segment_ids: jax.Array | None = None,
+    cache: dict | None = None,
+    precision: Precision = DEFAULT_PRECISION,
+    attention_fn: Callable | None = None,
+    remat: bool = False,
+) -> tuple[jax.Array, dict | None]:
+    embeds = common.embed_lookup(
+        params["text"]["embed"]["weight"], input_ids
+    ).astype(precision.compute_dtype)
+    if tiles is not None:
+        feats = clip_vit.apply(
+            params["vision"], cfg.vision, tiles, precision=precision,
+            remat=remat, num_layers=cfg.tower_layers,
+            keep_cls=cfg.vision_feature_select_strategy == "full",
+        )
+        feats = project(params, feats)
+        if cfg.anyres:
+            flat = feats.reshape(-1, feats.shape[-1])
+            gathered = (
+                flat[pack_src] * pack_weights[..., None].astype(flat.dtype)
+            ).sum(1)
+            newline = params["image_newline"].astype(gathered.dtype)
+            packed = jnp.where(
+                newline_mask[:, None], newline[None, :], gathered
+            )
+        else:
+            packed = feats.reshape(-1, feats.shape[-1])
+        embeds = merge_image_features(embeds, packed, scatter_rows, scatter_cols)
+    return qwen2.apply(
+        params["text"], cfg.text, inputs_embeds=embeds,
+        position_ids=position_ids, segment_ids=segment_ids, cache=cache,
+        precision=precision, attention_fn=attention_fn, remat=remat,
+    )
+
+
+def logits(params, cfg: LlavaConfig, hidden, precision=DEFAULT_PRECISION):
+    return qwen2.logits(params["text"], cfg.text, hidden, precision)

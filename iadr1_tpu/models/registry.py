@@ -469,11 +469,155 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
     )
 
 
+# ---------------------------------------------------------------------------
+# llava-1.5 / llava-next
+# ---------------------------------------------------------------------------
+
+
+def make_llava_bundle(hf_config: dict, attention: str = "auto",
+                      precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
+    from iadr1_tpu.models import clip_vit, llava
+    from iadr1_tpu.vision import anyres
+
+    anyres_mode = (
+        "LlavaNextForConditionalGeneration" in (hf_config.get("architectures") or [])
+        or hf_config.get("model_type") == "llava_next"
+    )
+    text_hf = hf_config["text_config"]
+    vis_hf = hf_config["vision_config"]
+    tcfg = dataclasses.replace(_qwen2_text_cfg(text_hf), attention_bias=False)
+    vcfg = clip_vit.ClipVisionConfig(
+        hidden_size=vis_hf.get("hidden_size", 1024),
+        intermediate_size=vis_hf.get("intermediate_size", 4096),
+        num_hidden_layers=vis_hf.get("num_hidden_layers", 24),
+        num_attention_heads=vis_hf.get("num_attention_heads", 16),
+        image_size=vis_hf.get("image_size", 336),
+        patch_size=vis_hf.get("patch_size", 14),
+        layer_norm_eps=vis_hf.get("layer_norm_eps", 1e-5),
+    )
+    cfg = llava.LlavaConfig(
+        text=tcfg, vision=vcfg,
+        image_token_id=hf_config.get("image_token_index",
+                                     hf_config.get("image_token_id", 32000)),
+        vision_feature_layer=hf_config.get("vision_feature_layer", -2),
+        vision_feature_select_strategy=hf_config.get(
+            "vision_feature_select_strategy", "default"),
+        anyres=anyres_mode,
+        image_grid_pinpoints=tuple(
+            tuple(p) for p in hf_config.get("image_grid_pinpoints", [])
+        ) or ((336, 672), (672, 336), (672, 672), (1008, 336), (336, 1008)),
+    )
+    attn = default_attention(attention)
+    g = vcfg.grid
+
+    def apply(params, batch, cache=None, remat=False):
+        return llava.apply(
+            params, cfg, batch["input_ids"], batch["position_ids"],
+            tiles=batch.get("tiles"),
+            pack_src=batch.get("pack_src"),
+            pack_weights=batch.get("pack_weights"),
+            newline_mask=batch.get("newline_mask"),
+            scatter_rows=batch.get("scatter_rows"),
+            scatter_cols=batch.get("scatter_cols"),
+            segment_ids=batch.get("segment_ids"), cache=cache,
+            precision=precision, attention_fn=attn, remat=remat,
+        )
+
+    def forward(params, batch, remat=True):
+        h, _ = apply(params, batch, remat=remat)
+        return llava.logits(params, cfg, h, precision)
+
+    def preprocess_image(pil, min_pixels=None, max_pixels=None):
+        if anyres_mode:
+            tiles, grid = anyres.llava_next_tiles(
+                pil, cfg.image_grid_pinpoints, vcfg.image_size
+            )
+            patches = anyres.patchify_tiles(tiles, vcfg.patch_size)
+            seqlen = anyres.onevision_feature_len(
+                (pil.height, pil.width), grid, g, max_tiles=None
+            )
+            return patches, (grid[0], grid[1], pil.height, pil.width), seqlen
+        tile = anyres.clip_resize_center_crop(pil, vcfg.image_size)
+        patches = anyres.patchify_tiles(tile[None], vcfg.patch_size)
+        return patches, (1, 1, pil.height, pil.width), g * g
+
+    def vision_arrays(input_ids, patches_list, grids, patch_budget):
+        B = input_ids.shape[0]
+        tile_budget = patch_budget // (g * g)
+        feat_budget = tile_budget * (g * g + g)
+        patch_dim = vcfg.patch_dim
+        tiles = np.zeros((tile_budget, g * g, patch_dim), np.float32)
+        rows_idx, cols_idx = np.nonzero(input_ids == cfg.image_token_id)
+
+        if anyres_mode:
+            src = np.zeros((feat_budget, 4), np.int64)
+            wts = np.zeros((feat_budget, 4), np.float32)
+            newline = np.zeros(feat_budget, bool)
+            srows = np.full(feat_budget, B, np.int32)
+            scols = np.zeros(feat_budget, np.int32)
+            tile_off = feat_off = tok_off = 0
+            for p, grid in zip(patches_list, grids):
+                n_h, n_w, oh, ow = grid
+                n = p.shape[0]
+                if tile_off + n > tile_budget:
+                    raise ValueError("tile stream exceeds budget")
+                tiles[tile_off : tile_off + n] = p
+                plan = anyres.onevision_pack_plan(
+                    (oh, ow), (n_h, n_w), g, max_tiles=None
+                )
+                F = plan["length"]
+                src[feat_off : feat_off + F] = plan["src"] + tile_off * g * g
+                wts[feat_off : feat_off + F] = plan["weights"]
+                newline[feat_off : feat_off + F] = plan["newline"]
+                srows[feat_off : feat_off + F] = rows_idx[tok_off : tok_off + F]
+                scols[feat_off : feat_off + F] = cols_idx[tok_off : tok_off + F]
+                tile_off += n
+                feat_off += F
+                tok_off += F
+            return {
+                "tiles": tiles, "pack_src": src, "pack_weights": wts,
+                "newline_mask": newline,
+                "scatter_rows": srows, "scatter_cols": scols,
+            }
+
+        # llava-1.5: one tile per image, features map 1:1
+        n_feats = tile_budget * g * g
+        srows = np.full(n_feats, B, np.int32)
+        scols = np.zeros(n_feats, np.int32)
+        tile_off = tok_off = 0
+        for p in patches_list:
+            tiles[tile_off : tile_off + 1] = p
+            F = g * g
+            srows[tile_off * F : tile_off * F + F] = rows_idx[tok_off : tok_off + F]
+            scols[tile_off * F : tile_off * F + F] = cols_idx[tok_off : tok_off + F]
+            tile_off += 1
+            tok_off += F
+        return {"tiles": tiles, "scatter_rows": srows, "scatter_cols": scols}
+
+    return ModelBundle(
+        family="llava_next" if anyres_mode else "llava", cfg=cfg,
+        multimodal=True,
+        init_params=lambda key, dtype=jnp.float32: llava.init_params(key, cfg, dtype),
+        convert_hf=lambda state, dtype=jnp.float32: llava.convert_hf(state, cfg, dtype),
+        logical_axes=lambda: llava.logical_axes(cfg),
+        forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: llava.logits(params, cfg, h, precision),
+        vision_arrays=vision_arrays,
+        preprocess_image=preprocess_image,
+        template="llava_next" if anyres_mode else "llava",
+    )
+
+
 FAMILY_BUILDERS = {
     "Qwen2ForCausalLM": make_qwen2_bundle,
     "Qwen2VLForConditionalGeneration": make_qwen2_vl_bundle,
     "Qwen2_5_VLForConditionalGeneration": make_qwen25_vl_bundle,
     "LlavaOnevisionForConditionalGeneration": make_llava_onevision_bundle,
+    "LlavaForConditionalGeneration": make_llava_bundle,
+    "LlavaNextForConditionalGeneration": make_llava_bundle,
+    "llava": make_llava_bundle,
+    "llava_next": make_llava_bundle,
     "qwen2": make_qwen2_bundle,
     "qwen2_vl": make_qwen2_vl_bundle,
     "qwen2_5_vl": make_qwen25_vl_bundle,

@@ -127,7 +127,7 @@ def onevision_pack_plan(
     original_size: tuple[int, int],
     grid: tuple[int, int],
     grid_side: int,
-    max_tiles: int = 9,
+    max_tiles: int | None = 9,
 ) -> dict:
     """Gather plan for anyres feature packing.
 
@@ -148,7 +148,10 @@ def onevision_pack_plan(
     y0, y1, x0, x1 = _unpad_bounds(H, W, original_size)
     uh, uw = y1 - y0, x1 - x0
 
-    ratio = math.sqrt(uh * uw / (max_tiles * g * g))
+    # max_tiles=None: LLaVA-NeXT semantics (no anyres_max downscale)
+    ratio = (
+        math.sqrt(uh * uw / (max_tiles * g * g)) if max_tiles else 0.0
+    )
     if ratio > 1.1:
         oh, ow = int(uh // ratio), int(uw // ratio)
         ylo, yhi, wy0, wy1 = _bilinear_plan_1d(oh, uh, y0)
@@ -197,7 +200,9 @@ def onevision_feature_len(original_size, grid, grid_side, max_tiles=9) -> int:
     H, W = n_h * grid_side, n_w * grid_side
     y0, y1, x0, x1 = _unpad_bounds(H, W, original_size)
     uh, uw = y1 - y0, x1 - x0
-    ratio = math.sqrt(uh * uw / (max_tiles * grid_side ** 2))
+    ratio = (
+        math.sqrt(uh * uw / (max_tiles * grid_side ** 2)) if max_tiles else 0.0
+    )
     if ratio > 1.1:
         oh, ow = int(uh // ratio), int(uw // ratio)
     else:
@@ -214,3 +219,39 @@ def pack_features_numpy(features: np.ndarray, plan: dict,
     gathered = (features[plan["src"]] * plan["weights"][..., None]).sum(axis=1)
     out = np.where(plan["newline"][:, None], newline[None, :], gathered)
     return out
+
+
+def clip_resize_center_crop(image, size: int = 336,
+                            mean=DEFAULT_MEAN, std=DEFAULT_STD):
+    """CLIPImageProcessor path: shortest-edge bicubic resize + center crop +
+    normalize -> [C, size, size] f32 (LLaVA-1.5 single-image input and the
+    LLaVA-NeXT base tile)."""
+    from PIL import Image
+
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+    w, h = image.width, image.height
+    # HF get_resize_output_image_size truncates the long side (int(), not
+    # round) -- off-by-one here shifts the crop window and every feature
+    if w < h:
+        nw, nh = size, int(h * size / w)
+    else:
+        nh, nw = size, int(w * size / h)
+    image = image.resize((nw, nh), resample=Image.Resampling.BICUBIC)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    image = image.crop((left, top, left + size, top + size))
+    arr = np.asarray(image, np.float32) / 255.0
+    arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return arr.transpose(2, 0, 1)
+
+
+def llava_next_tiles(image, grid_pinpoints, tile_size: int = 336,
+                     mean=DEFAULT_MEAN, std=DEFAULT_STD):
+    """LLaVA-NeXT anyres tiles.
+
+    Identical to OneVision tiling: the base tile is the square-squashed
+    original (HF get_image_patches resizes to the exact (size, size) tuple;
+    center-cropping applies only to the single-image LLaVA-1.5 path).
+    """
+    return onevision_tiles(image, grid_pinpoints, tile_size, mean, std)
