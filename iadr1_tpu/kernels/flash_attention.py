@@ -49,7 +49,9 @@ class BlockSizes(NamedTuple):
     block_k: int = 512
     block_q_dkv: int = 512
     block_k_dkv: int = 512
-    block_q_dq: int = 512
+    # dq carries group x (q, do, dq-scratch) blocks; 512 overflows VMEM at
+    # GQA group 7
+    block_q_dq: int = 256
     block_k_dq: int = 512
 
 
@@ -81,10 +83,12 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, q_seg_ref, kv_seg_ref,
     o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
-    *, scale: float, causal: bool, num_kv_blocks: int,
+    *, scale: float, causal: bool, num_kv_blocks: int, group: int,
 ):
+    # grid: (batch, KV head, q_block, kv_block); the GQA query group is
+    # looped statically inside so each K/V tile is loaded once per group.
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
-    block_q, head_dim = q_ref.shape[2], q_ref.shape[3]
+    block_q = q_ref.shape[2]
     block_k = k_ref.shape[2]
 
     @pl.when(kv_idx == 0)
@@ -100,45 +104,47 @@ def _fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0]  # [block_q, d]
         k = k_ref[0, 0]  # [block_k, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s *= scale
-
+        v = v_ref[0, 0]
         q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
         kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        madd = None if mask is None else jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[...]          # [block_q, LANES]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1)[:, None]                 # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)                 # broadcast to LANES
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])                       # [block_q, block_k]
-        l_corr = alpha * l_prev
-        l_next = l_corr + jnp.sum(p, axis=1)[:, None]
+        for g in range(group):
+            q = q_ref[0, g]  # [block_q, d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if madd is not None:
+                s = s + madd
 
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
+            m_prev = m_scratch[g]            # [block_q, RES_LANES]
+            l_prev = l_scratch[g]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
 
-        v = v_ref[0, 0]  # [block_k, d]
-        o_curr = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+            m_scratch[g] = m_next
+            l_scratch[g] = l_next
+
+            o_curr = jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            acc_scratch[g] = acc_scratch[g] * alpha[:, :1] + o_curr
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        l = l_scratch[:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
-        m = m_scratch[:, :1]
-        lse = jnp.where(l == 0.0, jnp.inf, m + jnp.log(l))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        for g in range(group):
+            l = l_scratch[g][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, g] = (acc_scratch[g] * l_inv).astype(o_ref.dtype)
+            m = m_scratch[g][:, :1]
+            lse = jnp.where(l == 0.0, jnp.inf, m + jnp.log(l))
+            lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _fwd(
@@ -152,9 +158,9 @@ def _fwd(
     nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
 
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
+        pl.BlockSpec((1, group, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h, kv, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h, kv, 0)),
         pl.BlockSpec((1, 1, bq), lambda b, h, q_, kv: (b, 0, q_)),
         pl.BlockSpec((1, 1, bk), lambda b, h, q_, kv: (b, 0, kv)),
     ]
@@ -162,22 +168,24 @@ def _fwd(
 
     out, lse = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, scale=scale, causal=causal, num_kv_blocks=nkv
+            _fwd_kernel, scale=scale, causal=causal, num_kv_blocks=nkv,
+            group=group,
         ),
-        grid=(B, H, nq, nkv),
+        grid=(B, Hkv, nq, nkv),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
-            pl.BlockSpec((1, 1, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+            pl.BlockSpec((1, group, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+            pl.BlockSpec((1, group, bq, RES_LANES),
+                         lambda b, h, q_, kv: (b, h, q_, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, T, RES_LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((group, bq, RES_LANES), jnp.float32),
+            pltpu.VMEM((group, bq, RES_LANES), jnp.float32),
+            pltpu.VMEM((group, bq, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -196,8 +204,9 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, q_seg_ref, kv_seg_ref,
     dq_ref,
     dq_scratch,
-    *, scale: float, causal: bool, num_kv_blocks: int,
+    *, scale: float, causal: bool, num_kv_blocks: int, group: int,
 ):
+    # grid: (batch, KV head, q_block, kv_block); GQA group looped inside.
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
     block_q = q_ref.shape[2]
     block_k = k_ref.shape[2]
@@ -212,35 +221,40 @@ def _bwd_dq_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, :1]   # [block_q, 1]
-        di = di_ref[0, 0][:, :1]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
         q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
         kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        madd = None if mask is None else jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-        p = jnp.exp(s - lse)                                   # [bq, bk]
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - di) * scale
-        dq_scratch[...] += jax.lax.dot(
-            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
-        )
+        for g in range(group):
+            q = q_ref[0, g]
+            do = do_ref[0, g].astype(jnp.float32)
+            lse = lse_ref[0, g][:, :1]   # [block_q, 1]
+            di = di_ref[0, g][:, :1]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if madd is not None:
+                s = s + madd
+
+            p = jnp.exp(s - lse)                               # [bq, bk]
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - di) * scale
+            dq_scratch[g] += jax.lax.dot(
+                ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+            )
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+        for g in range(group):
+            dq_ref[0, g] = dq_scratch[g].astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
@@ -319,16 +333,16 @@ def _bwd(
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     di = jnp.broadcast_to(di[..., None], (B, H, T, RES_LANES))
 
-    # --- dq ---------------------------------------------------------------
+    # --- dq: grid over KV heads, GQA group looped inside --------------------
     bq, bk = min(blocks.block_q_dq, T), min(blocks.block_k_dq, S)
     nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h // group, kv, 0)),
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, group, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h, kv, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h, kv, 0)),
+        pl.BlockSpec((1, group, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, group, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, group, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bq), lambda b, h, q_, kv: (b, 0, q_)),
         pl.BlockSpec((1, 1, bk), lambda b, h, q_, kv: (b, 0, kv)),
     ]
@@ -337,13 +351,15 @@ def _bwd(
 
     dq = pl.pallas_call(
         functools.partial(
-            _bwd_dq_kernel, scale=scale, causal=causal, num_kv_blocks=nkv
+            _bwd_dq_kernel, scale=scale, causal=causal, num_kv_blocks=nkv,
+            group=group,
         ),
-        grid=(B, H, nq, nkv),
+        grid=(B, Hkv, nq, nkv),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        out_specs=pl.BlockSpec((1, group, bq, D),
+                               lambda b, h, q_, kv: (b, h, q_, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((group, bq, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
