@@ -609,6 +609,103 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
     )
 
 
+# ---------------------------------------------------------------------------
+# internvl
+# ---------------------------------------------------------------------------
+
+
+def make_internvl_bundle(hf_config: dict, attention: str = "auto",
+                         precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
+    from iadr1_tpu.models import internvl
+
+    text_hf = hf_config["text_config"]
+    vis_hf = hf_config["vision_config"]
+    tcfg = _qwen2_text_cfg(text_hf)
+    vcfg = internvl.InternVLVisionConfig(
+        hidden_size=vis_hf.get("hidden_size", 1024),
+        intermediate_size=vis_hf.get("intermediate_size", 4096),
+        num_hidden_layers=vis_hf.get("num_hidden_layers", 24),
+        num_attention_heads=vis_hf.get("num_attention_heads", 16),
+        image_size=vis_hf.get("image_size", 448)
+        if not isinstance(vis_hf.get("image_size"), (list, tuple))
+        else vis_hf["image_size"][0],
+        patch_size=vis_hf.get("patch_size", 14)
+        if not isinstance(vis_hf.get("patch_size"), (list, tuple))
+        else vis_hf["patch_size"][0],
+        layer_norm_eps=vis_hf.get("layer_norm_eps", 1e-6),
+        attention_bias=vis_hf.get("attention_bias", True),
+        use_qk_norm=vis_hf.get("use_qk_norm", False),
+        norm_type=vis_hf.get("norm_type", "layer_norm"),
+    )
+    cfg = internvl.InternVLConfig(
+        text=tcfg, vision=vcfg,
+        image_token_id=hf_config.get("image_token_id", 151667),
+        downsample_ratio=hf_config.get("downsample_ratio", 0.5),
+        max_tiles=hf_config.get("max_tiles", 12),
+    )
+    attn = default_attention(attention)
+    g = vcfg.grid
+
+    def apply(params, batch, cache=None, remat=False):
+        return internvl.apply(
+            params, cfg, batch["input_ids"], batch["position_ids"],
+            tiles=batch.get("tiles"),
+            scatter_rows=batch.get("scatter_rows"),
+            scatter_cols=batch.get("scatter_cols"),
+            segment_ids=batch.get("segment_ids"), cache=cache,
+            precision=precision, attention_fn=attn, remat=remat,
+        )
+
+    def forward(params, batch, remat=True):
+        h, _ = apply(params, batch, remat=remat)
+        return internvl.logits(params, cfg, h, precision)
+
+    def preprocess_image(pil, min_pixels=None, max_pixels=None):
+        from iadr1_tpu.vision.anyres import patchify_tiles
+
+        tiles, n = internvl.internvl_tiles(
+            pil, vcfg.image_size, cfg.min_tiles, cfg.max_tiles
+        )
+        patches = patchify_tiles(tiles, vcfg.patch_size)
+        seqlen = n * cfg.features_per_tile
+        return patches, (n,), seqlen
+
+    def vision_arrays(input_ids, patches_list, grids, patch_budget):
+        B = input_ids.shape[0]
+        tile_budget = patch_budget // (g * g)
+        fpt = cfg.features_per_tile
+        tiles = np.zeros((tile_budget, g * g, vcfg.patch_dim), np.float32)
+        n_feats = tile_budget * fpt
+        srows = np.full(n_feats, B, np.int32)
+        scols = np.zeros(n_feats, np.int32)
+        rows_idx, cols_idx = np.nonzero(input_ids == cfg.image_token_id)
+        tile_off = tok_off = 0
+        for p in patches_list:
+            n = p.shape[0]
+            if tile_off + n > tile_budget:
+                raise ValueError("tile stream exceeds budget")
+            tiles[tile_off : tile_off + n] = p
+            F = n * fpt
+            srows[tile_off * fpt : tile_off * fpt + F] = rows_idx[tok_off : tok_off + F]
+            scols[tile_off * fpt : tile_off * fpt + F] = cols_idx[tok_off : tok_off + F]
+            tile_off += n
+            tok_off += F
+        return {"tiles": tiles, "scatter_rows": srows, "scatter_cols": scols}
+
+    return ModelBundle(
+        family="internvl", cfg=cfg, multimodal=True,
+        init_params=lambda key, dtype=jnp.float32: internvl.init_params(key, cfg, dtype),
+        convert_hf=lambda state, dtype=jnp.float32: internvl.convert_hf(state, cfg, dtype),
+        logical_axes=lambda: internvl.logical_axes(cfg),
+        forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: internvl.logits(params, cfg, h, precision),
+        vision_arrays=vision_arrays,
+        preprocess_image=preprocess_image,
+        template="intern_vl",
+    )
+
+
 FAMILY_BUILDERS = {
     "Qwen2ForCausalLM": make_qwen2_bundle,
     "Qwen2VLForConditionalGeneration": make_qwen2_vl_bundle,
@@ -618,6 +715,8 @@ FAMILY_BUILDERS = {
     "LlavaNextForConditionalGeneration": make_llava_bundle,
     "llava": make_llava_bundle,
     "llava_next": make_llava_bundle,
+    "InternVLForConditionalGeneration": make_internvl_bundle,
+    "internvl": make_internvl_bundle,
     "qwen2": make_qwen2_bundle,
     "qwen2_vl": make_qwen2_vl_bundle,
     "qwen2_5_vl": make_qwen25_vl_bundle,
