@@ -14,6 +14,7 @@ import dataclasses
 import functools
 from typing import Any, Callable
 
+
 import jax
 import jax.numpy as jnp
 
@@ -287,6 +288,11 @@ def apply(
         ys = {"k": new_kv[0], "v": new_kv[1]} if new_kv is not None else None
         return h, ys
 
+    # NOTE: saving the attention output via checkpoint_name + a
+    # save_only_these_names policy does NOT avoid re-running the flash
+    # forward during backward -- custom_vjp residuals are reconstructed by
+    # re-running the fwd rule regardless (measured: no step-time change,
+    # +1.4 GB saved activations). Plain remat is strictly better here.
     body = jax.checkpoint(scan_body) if remat else scan_body
     layer_cache = (
         {"k": cache["k"], "v": cache["v"]} if cache is not None else None

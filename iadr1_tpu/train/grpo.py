@@ -225,8 +225,12 @@ class GRPOTrainer:
                 ex.get(key) for ex in examples for _ in range(G)
             ]
         rewards_per_func = np.zeros((len(completions), len(self.reward_funcs)))
+        step_idx = int(self.state.step)
         for i, fn in enumerate(self.reward_funcs):
-            out = fn(completions=completions, **reward_kwargs)
+            # current_step passthrough matches the reference trainer's reward
+            # invocation (sc_grpo_trainer.py:780)
+            out = fn(completions=completions, current_step=step_idx,
+                     **reward_kwargs)
             rewards_per_func[:, i] = np.asarray(out, np.float64)
         rewards = rewards_per_func.sum(axis=1)
         advantages = group_advantages(rewards, G, self.cfg.scale_rewards)
