@@ -126,6 +126,78 @@ def summarize_answers(
     return df
 
 
+def summarize_mvtec_per_class(
+    answers: Iterable[dict], normal_flag: str = "good"
+) -> pd.DataFrame:
+    """Per-class MVTec-style accuracy table.
+
+    Behavior-compatible with the reference's ``caculate_accuracy``
+    (helper/summary.py:126-267): questions are numbered 1..5 per image
+    (parsed from "Question N" in the text, else by position), anomalous
+    images map them to [Existence, Defect Type, Defect Location, Defect
+    Appearance, Other] while normal images map 1 -> Existence and the rest
+    to Other; rows are classes plus an Average row; Overkill/Miss come from
+    question 1.
+    """
+    anomaly_labels = ["Existence", "Defect Type", "Defect Location",
+                      "Defect Appearance", "Other"]
+    normal_labels = ["Existence", "Other", "Other", "Other", "Other"]
+    labels = ["Existence", "Defect Type", "Defect Location",
+              "Defect Appearance", "Other"]
+
+    stats: dict = {}
+    q1: dict = {}
+
+    def _bucket(cls):
+        if cls not in stats:
+            stats[cls] = {l: {"total": 0, "correct": 0} for l in labels}
+            q1[cls] = {
+                "normal": {"total": 0, "correct": 0},
+                "anomaly": {"total": 0, "correct": 0},
+            }
+
+    last_image, q_num = "", 1
+    for a in answers:
+        cls = a["class"]
+        _bucket(cls)
+        text = a.get("question", {}).get("text", "") if isinstance(
+            a.get("question"), dict) else str(a.get("question", ""))
+        if "Question" in text:
+            q_num = int(text.split("Question")[1].strip()[0])
+        elif a["image"] == last_image:
+            q_num += 1
+        else:
+            q_num = 1
+        last_image = a["image"]
+        if a["correct_answer"] not in VALID_LETTERS or \
+                a["gpt_answer"] not in VALID_LETTERS:
+            continue
+        normal = normal_flag in a["image"]
+        label = (normal_labels if normal else anomaly_labels)[q_num - 1]
+        correct = a["correct_answer"] == a["gpt_answer"]
+        stats[cls][label]["total"] += 1
+        stats[cls][label]["correct"] += int(correct)
+        if q_num == 1:
+            bucket = q1[cls]["normal" if normal else "anomaly"]
+            bucket["total"] += 1
+            bucket["correct"] += int(correct)
+
+    df = pd.DataFrame(index=list(stats))
+    for cls in stats:
+        for label in labels:
+            t = stats[cls][label]["total"]
+            df.at[cls, label] = stats[cls][label]["correct"] / t if t else 0
+    df["Average"] = df.mean(axis=1)
+    for cls in stats:
+        n, an = q1[cls]["normal"], q1[cls]["anomaly"]
+        normal_acc = n["correct"] / n["total"] if n["total"] else 0
+        anomaly_acc = an["correct"] / an["total"] if an["total"] else 0
+        df.at[cls, "Overkill"] = 1 - normal_acc
+        df.at[cls, "Miss"] = 1 - anomaly_acc
+    df.loc["Average"] = df.mean()
+    return df
+
+
 def summarize_answers_file(
     answers_json_path: str,
     normal_flag: str = "good",

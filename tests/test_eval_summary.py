@@ -131,3 +131,28 @@ def test_overkill_miss():
     df = summarize_answers(answers, show_overkill_miss=True)
     assert df.at["DS", "Overkill"] == pytest.approx(50.0)
     assert df.at["DS", "Miss"] == pytest.approx(50.0)
+
+
+def test_mvtec_per_class_summary():
+    from iadr1_tpu.eval.summary import summarize_mvtec_per_class
+
+    answers = []
+    for cls in ("bottle", "cable"):
+        for i in range(4):
+            normal = i % 2 == 0
+            img = f"mvtec/{cls}/{'good' if normal else 'broken'}/{i}.png"
+            for qn in range(1, 6):
+                answers.append({
+                    "image": img, "class": cls,
+                    "question": {"text": f"Question {qn}: q?"},
+                    "correct_answer": "A",
+                    "gpt_answer": "A" if qn == 1 else "B",
+                })
+    df = summarize_mvtec_per_class(answers)
+    # question 1 always correct -> Existence 1.0, Overkill/Miss 0
+    assert df.at["bottle", "Existence"] == pytest.approx(1.0)
+    assert df.at["bottle", "Overkill"] == pytest.approx(0.0)
+    assert df.at["bottle", "Miss"] == pytest.approx(0.0)
+    # anomalous questions 2-4 always wrong
+    assert df.at["cable", "Defect Type"] == pytest.approx(0.0)
+    assert "Average" in df.index
