@@ -8,11 +8,12 @@ as segment ids and masked inside the kernel instead of monkey-patched
 cu_seqlens.
 
 Design (see docs/kernels.md):
-* grid (batch, q_heads, q_blocks, kv_blocks), kv innermost ("arbitrary"),
+* grid (batch, KV heads, q_blocks, kv_blocks), kv innermost ("arbitrary"),
   everything else "parallel"; online-softmax stats live in VMEM scratch and
   persist across the kv loop.
-* GQA maps q head h to kv head h // group inside the BlockSpec index maps --
-  no repeated K/V materialization in HBM.
+* the GQA query group is looped statically inside every kernel: K/V tiles
+  load once per group, grid cells drop by the group factor, and dk/dv
+  accumulate in-kernel with no post-hoc reduction.
 * causal masking skips entire kv tiles above the diagonal.
 * backward = two kernels (dq; dkv) that recompute attention probabilities
   from the saved logsumexp, plus a di = rowsum(o * do) precompute.
