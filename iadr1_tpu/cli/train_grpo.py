@@ -88,8 +88,19 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
         input_ids = np.full((B, P), pad, np.int64)
         mask = np.zeros((B, P), np.int64)
         patches_list, grids = [], []
+        img_id = getattr(bundle.cfg, "image_token_id", None)
         for i, ex in enumerate(rows):
             ids = ex["prompt_ids"][-P:]
+            if len(ex["prompt_ids"]) > P and img_id is not None and (
+                img_id in ex["prompt_ids"]
+            ):
+                # truncation through an image-token run would desync the
+                # feature scatter indices (VLM prompts must fit whole)
+                raise ValueError(
+                    f"VLM prompt ({len(ex['prompt_ids'])} tokens) exceeds "
+                    f"max_prompt_length={P}; raise max_prompt_length or "
+                    "lower max_pixels"
+                )
             input_ids[i, P - len(ids):] = ids
             mask[i, P - len(ids):] = 1
             patches_list.extend(ex.get("patches", []))

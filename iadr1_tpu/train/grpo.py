@@ -46,6 +46,7 @@ class GRPOConfig:
     max_prompt_length: int = 1024
     max_completion_length: int = 512
     scale_rewards: bool = True        # divide by group std
+    logp_chunk_size: int = 1024       # LM-head chunking for logp scoring
 
 
 # ---------------------------------------------------------------------------
@@ -53,41 +54,102 @@ class GRPOConfig:
 # ---------------------------------------------------------------------------
 
 
-def _completion_logps(forward_fn, params, batch) -> jax.Array:
+def chunked_token_logps(
+    hidden: jax.Array,        # [B, N, H] hidden states; hidden[:, i]
+    head_kernel: jax.Array,   # [H, V]     predicts targets[:, i]
+    targets: jax.Array,       # [B, N]
+    chunk_size: int = 1024,
+    logits_dtype=jnp.float32,
+) -> jax.Array:
+    """Per-token log p(targets) without materializing [B, N, V] logits.
+
+    The LM-head matmul + log-softmax run chunk-by-chunk over the flattened
+    token stream under lax.scan with rematerialization (same shape as
+    chunked_sft_loss, train/sft.py).  The reference computes completion
+    logps the same chunked way (trl/trl/trainer/grpo_trainer.py:802-860);
+    the round-1 dense path could not fit the 7B recipe (V=152k, P+N~4.6k).
+    """
+    B, N, H = hidden.shape
+    h = hidden.reshape(-1, H)
+    t = targets.reshape(-1)
+    total = B * N
+    pad = (-total) % chunk_size
+    h = jnp.pad(h, ((0, pad), (0, 0)))
+    t = jnp.pad(t, (0, pad))
+    n_chunks = h.shape[0] // chunk_size
+    h = h.reshape(n_chunks, chunk_size, H)
+    t = t.reshape(n_chunks, chunk_size)
+
+    @jax.checkpoint
+    def chunk_fn(_, xs):
+        hc, tc = xs
+        logits = jnp.einsum(
+            "ch,hv->cv", hc, head_kernel.astype(hc.dtype),
+            preferred_element_type=logits_dtype,
+        )
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, tc[:, None], axis=-1)[:, 0]
+        return None, picked - lse
+
+    _, logps = jax.lax.scan(chunk_fn, None, (h, t))
+    return logps.reshape(-1)[:total].reshape(B, N)
+
+
+def completion_logps(score_fn, params, batch,
+                     chunk_size: int = 1024) -> jax.Array:
     """Per-token logps of completion tokens given the full sequence.
 
+    ``score_fn(params, batch) -> (hidden [B, P+N, H], head_kernel [H, V])``.
     batch: input_ids [B, P+N] (prompt left-padded + completion),
     segment_ids, position_ids.  Returns [B, N] log p(token | prefix).
     """
-    logits = forward_fn(params, batch)               # [B, P+N, V]
+    hidden, kernel = score_fn(params, batch)
     P = batch["prompt_len"]
     N = batch["completion_ids"].shape[1]
-    # logits at positions P-1 .. P+N-2 predict completion tokens 0..N-1
-    pred = jax.lax.dynamic_slice_in_dim(logits, P - 1, N, axis=1)
-    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
-    ids = batch["completion_ids"]
-    oh = jax.nn.one_hot(ids, logp.shape[-1], dtype=logp.dtype)
-    # one-hot contraction instead of take_along_axis: dense, MXU-friendly,
-    # and avoids pathological gather/scatter paths
-    return jnp.einsum("bnv,bnv->bn", logp, oh)
+    # hidden states at positions P-1 .. P+N-2 predict completion tokens 0..N-1
+    pred = jax.lax.dynamic_slice_in_dim(hidden, P - 1, N, axis=1)
+    return chunked_token_logps(
+        pred, kernel, batch["completion_ids"], chunk_size
+    )
 
 
-def make_grpo_update_step(forward_fn, optimizer, cfg: GRPOConfig,
-                          schedule=None):
+def bundle_score_fn(bundle, remat: bool = True):
+    """Default score_fn for a registry ModelBundle."""
+    def score(params, batch):
+        return bundle.hidden_fn(params, batch, remat=remat), \
+            bundle.head_kernel_fn(params)
+
+    return score
+
+
+def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
+                          schedule=None, ref_score_fn=None):
     """(state, ref_params, batch) -> (new_state, metrics).
+
+    ``score_fn(params, batch) -> (hidden, head_kernel)`` (see
+    bundle_score_fn).  ``ref_score_fn`` overrides scoring of the reference
+    model -- used for LoRA ref-model elision where the frozen base weights
+    ARE the reference (trl PEFT-ref-None path, sc_grpo_trainer.py:153-182)
+    and ``ref_params`` passed to the step can be an empty pytree.
 
     batch fields: input_ids [B, P+N], segment_ids, position_ids,
     completion_ids [B, N], completion_mask [B, N], advantages [B],
     prompt_len (static int under jit via closure -- pass in batch as a
     concrete array-free int).
     """
+    if ref_score_fn is None:
+        ref_score_fn = score_fn
 
     def step(state, ref_params, batch):
         completion_mask = batch["completion_mask"].astype(jnp.float32)
 
         def loss_fn(params):
-            logps = _completion_logps(forward_fn, params, batch)
-            ref_logps = _completion_logps(forward_fn, ref_params, batch)
+            logps = completion_logps(
+                score_fn, params, batch, cfg.logp_chunk_size
+            )
+            ref_logps = completion_logps(
+                ref_score_fn, ref_params, batch, cfg.logp_chunk_size
+            )
             ref_logps = jax.lax.stop_gradient(ref_logps)
 
             # k3 KL estimator (sc_grpo_trainer.py:746)
@@ -147,13 +209,21 @@ class GRPOTrainer:
     def __init__(self, bundle, tokenizer, optimizer, cfg: GRPOConfig,
                  reward_funcs: Sequence[Callable], state, ref_params,
                  sampling_overrides: dict | None = None, schedule=None,
-                 template=None, prompt_collator: Callable | None = None):
+                 template=None, prompt_collator: Callable | None = None,
+                 base_params=None, tuning_cfg=None):
+        """``base_params``/``tuning_cfg``: LoRA mode with ref-model elision.
+
+        When given, ``state.params`` is the LoRA pytree (adapters.py
+        init_lora_params); the policy is base+LoRA, the KL reference is the
+        frozen base itself (one weight copy total -- trl's PEFT-ref-None
+        path, sc_grpo_trainer.py:153-182), and ``ref_params`` is ignored
+        (pass {}).
+        """
         self.bundle = bundle
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.reward_funcs = list(reward_funcs)
         self.state = state
-        self.ref_params = ref_params
         self.template = template
         # optional VLM collator: (examples, G) -> rollout batch with vision
         # arrays + M-RoPE positions (see cli/train_grpo.py)
@@ -169,10 +239,31 @@ class GRPOTrainer:
             bundle, sampling,
             max_len=cfg.max_prompt_length + cfg.max_completion_length,
         )
-        self.update_step = make_grpo_update_step(
-            lambda params, batch: bundle.forward(params, batch),
-            optimizer, cfg, schedule,
-        )
+        if base_params is not None:
+            from iadr1_tpu.train.adapters import merge_lora
+
+            if tuning_cfg is None or tuning_cfg.finetuning_type != "lora":
+                raise ValueError("base_params requires a LoRA TuningConfig")
+            self.ref_params = {}  # elided: the base IS the reference
+            base_score = bundle_score_fn(bundle)
+
+            def score(lora_params, batch):
+                merged = merge_lora(base_params, lora_params, tuning_cfg)
+                return base_score(merged, batch)
+
+            ref_score = lambda _unused, batch: base_score(base_params, batch)
+            self._merge_for_rollout = jax.jit(
+                lambda lora: merge_lora(base_params, lora, tuning_cfg)
+            )
+            self.update_step = make_grpo_update_step(
+                score, optimizer, cfg, schedule, ref_score_fn=ref_score
+            )
+        else:
+            self.ref_params = ref_params
+            self._merge_for_rollout = None
+            self.update_step = make_grpo_update_step(
+                bundle_score_fn(bundle), optimizer, cfg, schedule,
+            )
         self._rng = jax.random.PRNGKey(0)
         self.metrics_history: list[dict] = []
 
@@ -184,9 +275,20 @@ class GRPOTrainer:
         G = self.cfg.num_generations
         P = self.cfg.max_prompt_length
         pad = self.tokenizer.pad_token_id or self.tokenizer.eos_token_id
+        img_id = getattr(self.bundle.cfg, "image_token_id", None)
         ids_list = []
         for ex in examples:
             ids = ex["prompt_ids"][-P:]
+            if len(ex["prompt_ids"]) > P and img_id is not None and (
+                img_id in ex["prompt_ids"]
+            ):
+                # slicing through an image-token run desynchronizes the
+                # feature scatter indices -- fail loudly instead
+                raise ValueError(
+                    f"prompt ({len(ex['prompt_ids'])} tokens) with image "
+                    f"tokens exceeds max_prompt_length={P}; raise "
+                    "max_prompt_length or lower max_pixels"
+                )
             ids_list.extend([ids] * G)
         B = len(ids_list)
         input_ids = np.full((B, P), pad, np.int32)
@@ -207,7 +309,11 @@ class GRPOTrainer:
         else:
             batch = self._collate_prompts(examples)
         self._rng, sub = jax.random.split(self._rng)
-        rollout = self.engine.generate(self.state.params, batch, sub)
+        rollout_params = (
+            self._merge_for_rollout(self.state.params)
+            if self._merge_for_rollout is not None else self.state.params
+        )
+        rollout = self.engine.generate(rollout_params, batch, sub)
 
         completion_ids = np.asarray(rollout["completion_ids"])
         completion_mask = np.asarray(rollout["completion_mask"])

@@ -12,6 +12,8 @@ from iadr1_tpu.train import OptimizerConfig, make_optimizer
 from iadr1_tpu.train.grpo import (
     GRPOConfig,
     GRPOTrainer,
+    bundle_score_fn,
+    completion_logps,
     group_advantages,
     make_grpo_update_step,
 )
@@ -48,23 +50,10 @@ def test_update_step_moves_params_toward_advantage():
     state = create_train_state(params, optimizer)
     ref_params = jax.tree.map(jnp.copy, params)
 
-    cfg = GRPOConfig(num_generations=2, beta=0.04)
-    step = make_grpo_update_step(
-        lambda p, b: bundle.forward(p, b), optimizer, cfg
-    )
+    cfg = GRPOConfig(num_generations=2, beta=0.04, logp_chunk_size=4)
+    step = make_grpo_update_step(bundle_score_fn(bundle), optimizer, cfg)
 
-    B, P, N = 2, 4, 3
-    batch = {
-        "input_ids": jnp.asarray(np.tile(np.arange(2, 2 + P + N), (B, 1)), jnp.int32),
-        "segment_ids": jnp.ones((B, P + N), jnp.int32),
-        "position_ids": jnp.asarray(
-            np.broadcast_to(np.arange(P + N), (B, P + N)).copy(), jnp.int32),
-        "completion_ids": jnp.asarray(
-            np.tile(np.arange(2 + P, 2 + P + N), (B, 1)), jnp.int32),
-        "completion_mask": jnp.ones((B, N), jnp.int32),
-        "advantages": jnp.asarray([1.0, -1.0], jnp.float32),
-        "prompt_len": P,
-    }
+    batch = _grpo_batch()
     before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
     new_state, metrics = step(state, ref_params, batch)
     assert np.isfinite(float(metrics["loss"]))
@@ -75,6 +64,115 @@ def test_update_step_moves_params_toward_advantage():
         for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(new_state.params))
     ]
     assert all(moved)
+
+
+def _grpo_batch(B=2, P=4, N=3):
+    # rows must differ: identical rows with opposite advantages cancel
+    # gradients exactly and would vacuously pass/fail params-moved checks
+    rng = np.random.default_rng(7)
+    ids = rng.integers(2, 500, (B, P + N))
+    return {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "segment_ids": jnp.ones((B, P + N), jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(P + N), (B, P + N)).copy(), jnp.int32),
+        "completion_ids": jnp.asarray(ids[:, P:], jnp.int32),
+        "completion_mask": jnp.ones((B, N), jnp.int32),
+        "advantages": jnp.asarray([1.0, -1.0], jnp.float32),
+        "prompt_len": P,
+    }
+
+
+def test_chunked_logps_match_dense():
+    """completion_logps (chunked LM head) must equal the dense [B,T,V] path
+    for both an even and an uneven chunk split."""
+    bundle = make_qwen2_bundle(TINY, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(1))
+    batch = _grpo_batch(B=2, P=5, N=4)
+
+    logits = jax.jit(lambda p, b: bundle.forward(p, b))(params, batch)
+    P, N = batch["prompt_len"], 4
+    pred = np.asarray(logits)[:, P - 1 : P - 1 + N].astype(np.float64)
+    dense = np.take_along_axis(
+        pred - np.log(np.exp(pred).sum(-1, keepdims=True)),
+        np.asarray(batch["completion_ids"])[..., None], axis=-1,
+    )[..., 0]
+
+    for chunk in (3, 4, 8, 64):
+        chunked = jax.jit(
+            lambda p, b: completion_logps(bundle_score_fn(bundle), p, b, chunk)
+        )(params, batch)
+        np.testing.assert_allclose(np.asarray(chunked), dense, atol=1e-4)
+
+
+def test_lora_ref_elision_update_step():
+    """LoRA mode: policy = base + LoRA, KL reference = frozen base, one
+    weight copy total (trl PEFT-ref-None path)."""
+    from iadr1_tpu.train.adapters import (
+        TuningConfig, init_lora_params, merge_lora,
+    )
+
+    bundle = make_qwen2_bundle(TINY, attention="xla")
+    base = bundle.init_params(jax.random.PRNGKey(0))
+    tcfg = TuningConfig(finetuning_type="lora", lora_rank=4)
+    lora = init_lora_params(jax.random.PRNGKey(1), base, tcfg)
+    optimizer, _ = make_optimizer(
+        OptimizerConfig(learning_rate=1e-2, total_steps=10, warmup_ratio=0.0)
+    )
+    state = create_train_state(lora, optimizer)
+
+    base_score = bundle_score_fn(bundle)
+
+    def score(lora_params, batch):
+        return base_score(merge_lora(base, lora_params, tcfg), batch)
+
+    cfg = GRPOConfig(num_generations=2, beta=0.04, logp_chunk_size=4)
+    step = make_grpo_update_step(
+        score, optimizer, cfg,
+        ref_score_fn=lambda _unused, b: base_score(base, b),
+    )
+    batch = _grpo_batch()
+    base_before = jax.tree.map(lambda x: np.asarray(x).copy(), base)
+    lora_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    new_state, metrics = step(state, {}, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # LoRA B starts at zero -> merged == base -> KL to base is exactly 0
+    assert abs(float(metrics["kl"])) < 1e-5
+    # base weights untouched; LoRA factors moved
+    for a, b in zip(jax.tree.leaves(base_before), jax.tree.leaves(base)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    lora_moved = [
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(lora_before),
+                        jax.tree.leaves(new_state.params))
+    ]
+    assert any(lora_moved)
+
+
+def test_vlm_prompt_truncation_guard():
+    """Truncating a prompt that carries image tokens must fail loudly
+    (silent slicing desyncs the feature scatter indices)."""
+    tok = tiny_qwen_tokenizer()
+    hf_cfg = {**TINY, "vocab_size": max(tok.vocab_size, 600)}
+    bundle = make_qwen2_bundle(hf_cfg, attention="xla")
+    bundle.multimodal = True
+    bundle.cfg = type("Cfg", (), {
+        "text": bundle.cfg, "image_token_id": 42,
+        "mrope_section": None,
+    })()
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, total_steps=5, warmup_ratio=0.0)
+    )
+    state = create_train_state(params, optimizer)
+    cfg = GRPOConfig(num_generations=2, max_prompt_length=4,
+                     max_completion_length=2)
+    trainer = GRPOTrainer(
+        bundle, tok, optimizer, cfg, [], state,
+        jax.tree.map(jnp.copy, params),
+    )
+    with pytest.raises(ValueError, match="image"):
+        trainer._collate_prompts([{"prompt_ids": [1, 42, 42, 3, 4, 5]}])
 
 
 def _reward_contains_token(target_text):
