@@ -220,9 +220,9 @@ def main(argv=None):
     ref_dtype = getattr(jnp, cfg.model.ref_dtype)
     ref_params = jax.tree.map(lambda x: x.astype(ref_dtype), params)
 
-    optimizer, schedule = make_optimizer(
-        dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
-    )
+    if not opt_cfg.total_steps:
+        opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
+    optimizer, schedule = make_optimizer(opt_cfg)
     state = create_sharded_state(params, optimizer)
 
     collator = (
@@ -241,10 +241,22 @@ def main(argv=None):
         os.path.join(loop_cfg.output_dir, "checkpoints"),
         max_to_keep=loop_cfg.keep_checkpoints,
     )
+    start_step = 0
+    if loop_cfg.resume:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            trainer.state = ckpt.restore(trainer.state)
+            trainer.fast_forward_rng(latest)
+            start_step = latest
+            print(f"resumed from checkpoint step {latest}")
     rng = np.random.default_rng(loop_cfg.seed)
     per_step = max(loop_cfg.batch_size, 1)
     for step_idx in range(1, loop_cfg.max_steps + 1):
+        # the prompt-sampling stream is drawn every step so a resumed run
+        # sees the same example sequence as an uninterrupted one
         idx = rng.choice(len(examples), size=per_step, replace=False)
+        if step_idx <= start_step:
+            continue
         metrics = trainer.step([examples[i] for i in idx])
         if step_idx % max(loop_cfg.logging_steps, 1) == 0:
             logger.log(step_idx, metrics)

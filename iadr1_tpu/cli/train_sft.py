@@ -178,11 +178,23 @@ def main(argv=None):
 
     mesh = build_mesh(MeshConfig(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp))
     params = jax.device_put(params, pytree_shardings(bundle.logical_axes(), mesh))
-    optimizer, schedule = make_optimizer(
-        dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
-    )
+    if not opt_cfg.total_steps:
+        opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
+    optimizer, schedule = make_optimizer(opt_cfg)
     state = create_sharded_state(params, optimizer)
     step = make_sft_step(bundle.forward, optimizer, schedule)
+
+    ckpt = CheckpointManager(
+        os.path.join(loop_cfg.output_dir, "checkpoints"),
+        max_to_keep=loop_cfg.keep_checkpoints,
+    )
+    start_step = 0
+    if loop_cfg.resume:
+        latest = ckpt.latest_step()
+        if latest is not None:
+            state = ckpt.restore(state)
+            start_step = latest
+            print(f"resumed from checkpoint step {latest}")
 
     if bundle.multimodal:
         collate = VLMBatchBuilder(
@@ -193,7 +205,8 @@ def main(argv=None):
         )
     else:
         collate = text_batch
-    batches = batch_iterator(rows, loop_cfg.batch_size, loop_cfg.seed, collate)
+    batches = batch_iterator(rows, loop_cfg.batch_size, loop_cfg.seed, collate,
+                             skip=start_step)
 
     tcfg = getattr(bundle.cfg, "text", bundle.cfg)
     meter = ThroughputMeter(
@@ -207,11 +220,8 @@ def main(argv=None):
         n_chips=mesh.size,
         chip="v5e" if jax.default_backend() == "tpu" else "cpu",
     )
-    ckpt = CheckpointManager(
-        os.path.join(loop_cfg.output_dir, "checkpoints"),
-        max_to_keep=loop_cfg.keep_checkpoints,
-    )
-    state, history = run_sft_loop(state, step, batches, loop_cfg, ckpt, meter)
+    state, history = run_sft_loop(state, step, batches, loop_cfg, ckpt, meter,
+                                  start_step=start_step)
     print(json.dumps({"final": history[-1] if history else {}}))
     return 0
 

@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -333,6 +334,9 @@ def _bwd(
 
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     di = jnp.broadcast_to(di[..., None], (B, H, T, RES_LANES))
+    # lse residual is stored lane-compact as [B, H, T]; the kernels read
+    # RES_LANES-wide blocks (transient broadcast, not a saved buffer)
+    lse = jnp.broadcast_to(lse[..., None], (B, H, T, RES_LANES))
 
     # --- dq: grid over KV heads, GQA group looped inside --------------------
     bq, bk = min(blocks.block_q_dq, T), min(blocks.block_k_dq, S)
@@ -416,27 +420,64 @@ def _bwd(
 # ---------------------------------------------------------------------------
 
 
+def _name_residuals(out, lse8):
+    """(out, lse [B,H,T]) tagged for the remat policy, in layout-friendly
+    storage shapes.
+
+    The scan-stacked saved residuals get XLA's default (8,128)/(16,128)
+    tiling on the *last two dims*: storing lse as [..., T, 8] pads lanes
+    8->128 (16x, 5.25 GB at [24,8,14,4096,8]!) and out as [..., T, 64]
+    pads 64->128 (2x).  So lse is saved as [B, H, T] and out reshaped to a
+    128-lane-exact [B, H, T*D/128, 128] before naming; consumers reshape
+    back (free -- contiguous row-major reinterpretation).
+    """
+    B, H, T, D = out.shape
+    lse = checkpoint_name(lse8[..., 0], "flash_lse")      # [B, H, T] f32
+    if D % 128 != 0 and (T * D) % 128 == 0:
+        out_s = checkpoint_name(out.reshape(B, H, -1, 128), "flash_out")
+        out = out_s.reshape(B, H, T, D)
+    else:
+        out = checkpoint_name(out, "flash_out")
+    return out, lse
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
 )
 def _flash(q, k, v, q_segment_ids, kv_segment_ids, scale, causal, blocks, interpret):
-    out, _ = _fwd(
+    """Returns (out, lse [B,H,T]).
+
+    lse is a *primal output* (not just a VJP residual) so the fwd rule can
+    tag (out, lse) with jax.ad_checkpoint.checkpoint_name: under
+    jax.checkpoint(..., policy=save_only_these_names(...)), the saved pair
+    satisfies every backward residual and the forward kernel is
+    dead-code-eliminated from the rematerialized backward.  Saving out
+    alone cannot do this -- the fwd rule would still re-run to produce lse
+    (measured in round 1: no step-time change).
+    """
+    out, lse8 = _fwd(
         q, k, v, q_segment_ids, kv_segment_ids,
         scale=scale, causal=causal, blocks=blocks, interpret=interpret,
     )
-    return out
+    return out, lse8[..., 0]
 
 
 def _flash_fwd(q, k, v, q_segment_ids, kv_segment_ids, scale, causal, blocks, interpret):
-    out, lse = _fwd(
+    out, lse8 = _fwd(
         q, k, v, q_segment_ids, kv_segment_ids,
         scale=scale, causal=causal, blocks=blocks, interpret=interpret,
     )
-    return out, (q, k, v, q_segment_ids, kv_segment_ids, out, lse)
+    # Residuals are the *named* values: naming outside the custom_vjp does
+    # not work -- the fwd rule's residuals would be the pre-name values and
+    # remat would re-run the kernel to rebuild them (verified by counting
+    # pallas_call eqns in the grad jaxpr).
+    out, lse = _name_residuals(out, lse8)
+    return (out, lse), (q, k, v, q_segment_ids, kv_segment_ids, out, lse)
 
 
-def _flash_bwd(scale, causal, blocks, interpret, residuals, do):
+def _flash_bwd(scale, causal, blocks, interpret, residuals, grads):
     q, k, v, q_segment_ids, kv_segment_ids, out, lse = residuals
+    do, _ = grads  # cotangent w.r.t. lse is not propagated
     dq, dk, dv = _bwd(
         q, k, v, q_segment_ids, kv_segment_ids, out, lse, do,
         scale=scale, causal=causal, blocks=blocks, interpret=interpret,
@@ -445,6 +486,40 @@ def _flash_bwd(scale, causal, blocks, interpret, residuals, do):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
+    causal: bool = True,
+    scale: float | None = None,
+    blocks: BlockSizes | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused attention returning (out [B,H,T,D], lse [B,H,T]).
+
+    The VJP fwd rule checkpoint_names (out, lse) so remat with the
+    save_only_these_names policy skips the forward-kernel recompute in the
+    backward pass (see _flash docstring).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if segment_ids is None:
+        segment_ids = jnp.ones((q.shape[0], q.shape[2]), jnp.int32)
+    if kv_segment_ids is None:
+        kv_segment_ids = (
+            segment_ids
+            if k.shape[2] == q.shape[2]
+            else jnp.ones((k.shape[0], k.shape[2]), jnp.int32)
+        )
+    blocks = blocks or BlockSizes()
+    return _flash(
+        q, k, v, segment_ids, kv_segment_ids, scale, causal, blocks, interpret
+    )
 
 
 def flash_attention(
@@ -465,17 +540,8 @@ def flash_attention(
     same array for self-attention) enable packed-sequence masking; id 0 is
     padding.  Differentiable via a custom VJP (Pallas backward kernels).
     """
-    if scale is None:
-        scale = q.shape[-1] ** -0.5
-    if segment_ids is None:
-        segment_ids = jnp.ones((q.shape[0], q.shape[2]), jnp.int32)
-    if kv_segment_ids is None:
-        kv_segment_ids = (
-            segment_ids
-            if k.shape[2] == q.shape[2]
-            else jnp.ones((k.shape[0], k.shape[2]), jnp.int32)
-        )
-    blocks = blocks or BlockSizes()
-    return _flash(
-        q, k, v, segment_ids, kv_segment_ids, scale, causal, blocks, interpret
+    out, _ = flash_attention_with_lse(
+        q, k, v, segment_ids=segment_ids, kv_segment_ids=kv_segment_ids,
+        causal=causal, scale=scale, blocks=blocks, interpret=interpret,
     )
+    return out

@@ -369,8 +369,10 @@ def apply(
     scatter_cols: jax.Array | None = None,
     segment_ids: jax.Array | None = None,
     cache: dict | None = None,
+    cache_mode: str = "extend",
     precision: Precision = DEFAULT_PRECISION,
     attention_fn: Callable | None = None,
+    decode_attention_fn: Callable | None = None,
     remat: bool = False,
 ) -> tuple[jax.Array, dict | None]:
     embeds = common.embed_lookup(
@@ -382,7 +384,9 @@ def apply(
     return qwen2.apply(
         params["text"], cfg.text, inputs_embeds=embeds,
         position_ids=position_ids, segment_ids=segment_ids, cache=cache,
-        precision=precision, attention_fn=attention_fn, remat=remat,
+        cache_mode=cache_mode, precision=precision,
+        attention_fn=attention_fn, decode_attention_fn=decode_attention_fn,
+        remat=remat,
     )
 
 

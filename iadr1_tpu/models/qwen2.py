@@ -141,7 +141,9 @@ def logical_axes(cfg: Qwen2Config) -> dict:
 def init_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> dict:
     """Static-shape KV cache for autoregressive decoding.
 
-    ``positions``/``segment_ids`` describe every cache slot so attention
+    Layout [L, B, Hkv, S, D]: the sequence axis is second-to-last so the
+    ragged decode kernel reads contiguous (block, head_dim) tiles straight
+    from HBM.  ``segment_ids`` describe every cache slot so attention
     masking is uniform between prefill and decode; ``write_idx`` is the next
     slot to fill (shared across the batch -- prompts are left-padded, mirroring
     the reference trainer's left padding, sc_grpo_trainer.py:184-227).
@@ -149,8 +151,8 @@ def init_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -
     L = cfg.num_hidden_layers
     Hkv, D = cfg.num_key_value_heads, cfg.head_dim_
     return {
-        "k": jnp.zeros((L, batch, max_len, Hkv, D), dtype),
-        "v": jnp.zeros((L, batch, max_len, Hkv, D), dtype),
+        "k": jnp.zeros((L, batch, Hkv, max_len, D), dtype),
+        "v": jnp.zeros((L, batch, Hkv, max_len, D), dtype),
         "segment_ids": jnp.zeros((batch, max_len), jnp.int32),
         "write_idx": jnp.zeros((), jnp.int32),
     }
@@ -170,6 +172,7 @@ def _layer(
     cache_kv: tuple[jax.Array, jax.Array] | None,
     write_idx: jax.Array | None,
     attention_fn: Callable,
+    attend_fresh: bool = False,
 ):
     B, T, _ = h.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -186,11 +189,18 @@ def _layer(
 
     new_cache_kv = None
     if cache_kv is not None:
-        ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), write_idx, axis=1)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), write_idx, axis=1)
+        ck, cv = cache_kv                       # [B, Hkv, S, D]
+        ck = jax.lax.dynamic_update_slice_in_dim(
+            ck, k.transpose(0, 2, 1, 3).astype(ck.dtype), write_idx, axis=2
+        )
+        cv = jax.lax.dynamic_update_slice_in_dim(
+            cv, v.transpose(0, 2, 1, 3).astype(cv.dtype), write_idx, axis=2
+        )
         new_cache_kv = (ck, cv)
-        k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+        if not attend_fresh:
+            # cached paths receive cache-layout [B, Hkv, S, D] arrays; the
+            # attn closure (decode kernel / dense fallback) handles layout
+            k, v = ck, cv
 
     attn_out = attention_fn(q, k, v)
     attn_out = dense(attn_out.reshape(B, T, H * D), attn_p["o"]["kernel"])
@@ -213,8 +223,10 @@ def apply(
     position_ids: jax.Array,
     segment_ids: jax.Array | None = None,
     cache: dict | None = None,
+    cache_mode: str = "extend",
     precision: Precision = DEFAULT_PRECISION,
     attention_fn: Callable | None = None,
+    decode_attention_fn: Callable | None = None,
     remat: bool = False,
 ) -> tuple[jax.Array, dict | None]:
     """Run the decoder stack; returns (hidden_states [B,T,hid], new_cache).
@@ -223,6 +235,16 @@ def apply(
     ``cfg.mrope_section`` is set (M-RoPE).  ``inputs_embeds`` overrides token
     embedding lookup (used by the VLM wrappers to splice in image features).
     ``segment_ids``: [B, T] packing segments (0 = padding).
+
+    ``cache_mode`` selects the cached-attention strategy:
+    * "prefill" -- the cache is empty (write_idx 0): attend within the new
+      block only via the fused flash kernel (or a [T, T] mask) and write
+      K/V into the cache.
+    * "decode"  -- single-token step: the ragged Pallas decode kernel reads
+      only the valid cache prefix (``decode_attention_fn``); falls back to
+      the dense path when no kernel is given.
+    * "extend"  -- general/oracle path: dense masked attention over the
+      whole static cache (correct for any write_idx/T).
     """
     if inputs_embeds is None:
         inputs_embeds = common.embed_lookup(params["embed"]["weight"], input_ids)
@@ -245,37 +267,61 @@ def apply(
     # semantics), NOT by RoPE position value -- M-RoPE assigns equal temporal
     # positions to all patches of an image, and packed segments restart
     # position values.
+    attend_fresh = False
     if cache is not None:
         write_idx = cache["write_idx"]
-        q_index = jnp.broadcast_to(write_idx + jnp.arange(T), (B, T))
-        kv_index = jnp.broadcast_to(
-            jnp.arange(cache["segment_ids"].shape[1]), cache["segment_ids"].shape
-        )
         kv_segments = jax.lax.dynamic_update_slice_in_dim(
             cache["segment_ids"], segment_ids, write_idx, axis=1
         )
-        mask = make_attention_mask(
-            segment_ids, kv_segments, q_index, kv_index, causal=True
-        )
+        if cache_mode == "prefill":
+            # empty cache: attention is over the fresh K/V block only
+            attend_fresh = True
+            q_index = jnp.broadcast_to(jnp.arange(T), (B, T))
+            mask = make_attention_mask(
+                segment_ids, segment_ids, q_index, q_index, causal=True
+            )
+            if attention_fn is not None:
+                attn = functools.partial(
+                    attention_fn, mask=mask, q_segments=segment_ids,
+                    kv_segments=segment_ids, causal=True,
+                )
+            else:
+                attn = lambda q, k, v: xla_attention(q, k, v, mask)
+        elif cache_mode == "decode" and decode_attention_fn is not None:
+            length = write_idx + T
+            attn = lambda q, ck, cv: decode_attention_fn(
+                q, ck, cv, kv_segments, length
+            )
+        else:  # "extend" / fallback: dense mask over the whole static cache
+            q_index = jnp.broadcast_to(write_idx + jnp.arange(T), (B, T))
+            kv_index = jnp.broadcast_to(
+                jnp.arange(kv_segments.shape[1]), kv_segments.shape
+            )
+            mask = make_attention_mask(
+                segment_ids, kv_segments, q_index, kv_index, causal=True
+            )
+            attn = lambda q, ck, cv: xla_attention(
+                q,
+                ck.transpose(0, 2, 1, 3).astype(q.dtype),
+                cv.transpose(0, 2, 1, 3).astype(q.dtype),
+                mask,
+            )
     else:
         write_idx = None
         q_index = jnp.broadcast_to(jnp.arange(T), (B, T))
         mask = make_attention_mask(
             segment_ids, segment_ids, q_index, q_index, causal=True
         )
-
-    if attention_fn is None or cache is not None:
-        # decode/prefill-with-cache uses the mask path: flash tiles want
-        # block-sized queries, and cached attention is bandwidth-bound anyway
-        attn = lambda q, k, v: xla_attention(q, k, v, mask)
-    else:
-        attn = functools.partial(
-            attention_fn,
-            mask=mask,
-            q_segments=segment_ids,
-            kv_segments=segment_ids,
-            causal=True,
-        )
+        if attention_fn is None:
+            attn = lambda q, k, v: xla_attention(q, k, v, mask)
+        else:
+            attn = functools.partial(
+                attention_fn,
+                mask=mask,
+                q_segments=segment_ids,
+                kv_segments=segment_ids,
+                causal=True,
+            )
 
     def scan_body(h, xs):
         layer_params, layer_cache = xs
@@ -283,17 +329,25 @@ def apply(
             (layer_cache["k"], layer_cache["v"]) if layer_cache is not None else None
         )
         h, new_kv = _layer(
-            cfg, h, layer_params, cos, sin, cache_kv, write_idx, attn
+            cfg, h, layer_params, cos, sin, cache_kv, write_idx, attn,
+            attend_fresh=attend_fresh,
         )
         ys = {"k": new_kv[0], "v": new_kv[1]} if new_kv is not None else None
         return h, ys
 
-    # NOTE: saving the attention output via checkpoint_name + a
-    # save_only_these_names policy does NOT avoid re-running the flash
-    # forward during backward -- custom_vjp residuals are reconstructed by
-    # re-running the fwd rule regardless (measured: no step-time change,
-    # +1.4 GB saved activations). Plain remat is strictly better here.
-    body = jax.checkpoint(scan_body) if remat else scan_body
+    # Remat policy: (out, lse) are checkpoint_named inside the flash VJP's
+    # fwd rule, so save_only_these_names stores exactly the backward
+    # residuals and the forward kernel is DCE'd from the rematerialized
+    # backward (+~73 MB/layer at [8,14,4096,64]; naming *outside* the
+    # custom_vjp cannot do this -- the fwd rule re-runs to rebuild the
+    # pre-name residuals, measured in round 1 as a no-op).  Under the XLA
+    # attention path nothing is named and this reduces to plain remat.
+    from iadr1_tpu.models.attention import FLASH_REMAT_POLICY
+
+    body = (
+        jax.checkpoint(scan_body, policy=FLASH_REMAT_POLICY)
+        if remat else scan_body
+    )
     layer_cache = (
         {"k": cache["k"], "v": cache["v"]} if cache is not None else None
     )

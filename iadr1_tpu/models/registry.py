@@ -26,7 +26,7 @@ import numpy as np
 
 from iadr1_tpu.core.precision import Precision, DEFAULT_PRECISION
 from iadr1_tpu.models import qwen2, qwen2_vl
-from iadr1_tpu.models.attention import default_attention
+from iadr1_tpu.models.attention import default_attention, default_decode_attention
 
 
 @dataclasses.dataclass
@@ -121,6 +121,7 @@ def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
                       precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
     cfg = _qwen2_text_cfg(hf_config)
     attn = default_attention(attention)
+    decode_attn = default_decode_attention(attention)
 
     def forward(params, batch, remat=True):
         h, _ = qwen2.apply(
@@ -131,12 +132,13 @@ def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
         )
         return qwen2.logits(params, cfg, h, precision)
 
-    def apply(params, batch, cache=None, remat=False):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
         return qwen2.apply(
             params, cfg, batch["input_ids"],
             position_ids=batch["position_ids"],
             segment_ids=batch.get("segment_ids"),
-            cache=cache, precision=precision, attention_fn=attn, remat=remat,
+            cache=cache, cache_mode=cache_mode, precision=precision,
+            attention_fn=attn, decode_attention_fn=decode_attn, remat=remat,
         )
 
     from iadr1_tpu.models.params_io import convert_qwen2
@@ -183,10 +185,11 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
         vision_end_token_id=hf_config.get("vision_end_token_id", 151653),
     )
     attn = default_attention(attention)
+    decode_attn = default_decode_attention(attention)
     vision_keys = ("patches", "rot_cos", "rot_sin", "vision_segments",
                    "scatter_rows", "scatter_cols")
 
-    def apply(params, batch, cache=None, remat=False):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
         return qwen2_vl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             patches=batch.get("patches"),
@@ -195,6 +198,7 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
             scatter_rows=batch.get("scatter_rows"),
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
+            cache_mode=cache_mode, decode_attention_fn=decode_attn,
             precision=precision, attention_fn=attn,
             vision_attention_fn=attn, remat=remat,
         )
@@ -276,8 +280,9 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
         vision_end_token_id=hf_config.get("vision_end_token_id", 151653),
     )
     attn = default_attention(attention)
+    decode_attn = default_decode_attention(attention)
 
-    def apply(params, batch, cache=None, remat=False):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
         return qwen25_vl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             patches=batch.get("patches"),
@@ -287,6 +292,7 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
             scatter_rows=batch.get("scatter_rows"),
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
+            cache_mode=cache_mode, decode_attention_fn=decode_attn,
             precision=precision, attention_fn=attn,
             vision_attention_fn=attn, remat=remat,
         )
@@ -383,9 +389,10 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
         vision_aspect_ratio=hf_config.get("vision_aspect_ratio", "anyres_max_9"),
     )
     attn = default_attention(attention)
+    decode_attn = default_decode_attention(attention)
     g = vcfg.grid
 
-    def apply(params, batch, cache=None, remat=False):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
         return llava_onevision.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
@@ -395,6 +402,7 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
             scatter_rows=batch.get("scatter_rows"),
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
+            cache_mode=cache_mode, decode_attention_fn=decode_attn,
             precision=precision, attention_fn=attn, remat=remat,
         )
 
@@ -508,9 +516,10 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
         ) or ((336, 672), (672, 336), (672, 672), (1008, 336), (336, 1008)),
     )
     attn = default_attention(attention)
+    decode_attn = default_decode_attention(attention)
     g = vcfg.grid
 
-    def apply(params, batch, cache=None, remat=False):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
         return llava.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
@@ -520,6 +529,7 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
             scatter_rows=batch.get("scatter_rows"),
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
+            cache_mode=cache_mode, decode_attention_fn=decode_attn,
             precision=precision, attention_fn=attn, remat=remat,
         )
 
@@ -644,15 +654,17 @@ def make_internvl_bundle(hf_config: dict, attention: str = "auto",
         max_tiles=hf_config.get("max_tiles", 12),
     )
     attn = default_attention(attention)
+    decode_attn = default_decode_attention(attention)
     g = vcfg.grid
 
-    def apply(params, batch, cache=None, remat=False):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
         return internvl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
             scatter_rows=batch.get("scatter_rows"),
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
+            cache_mode=cache_mode, decode_attention_fn=decode_attn,
             precision=precision, attention_fn=attn, remat=remat,
         )
 

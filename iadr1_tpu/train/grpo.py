@@ -267,6 +267,13 @@ class GRPOTrainer:
         self._rng = jax.random.PRNGKey(0)
         self.metrics_history: list[dict] = []
 
+    def fast_forward_rng(self, n_steps: int):
+        """Advance the sampling PRNG as if ``n_steps`` rollouts had run
+        (resume support: keeps the sampling stream aligned with an
+        uninterrupted run)."""
+        for _ in range(n_steps):
+            self._rng, _ = jax.random.split(self._rng)
+
     # --- prompt collation --------------------------------------------------
 
     def _collate_prompts(self, examples: Sequence[dict]) -> dict:

@@ -26,6 +26,9 @@ class LoopConfig:
     save_steps: int = 0               # 0 = only final
     seed: int = 0
     keep_checkpoints: int = 3
+    resume: bool = False              # auto-resume from the latest checkpoint
+    # (reference: trainer.train(resume_from_checkpoint=...),
+    # train/sft/workflow.py:101)
 
 
 class JsonlLogger:
@@ -61,13 +64,22 @@ class JsonlLogger:
 
 
 def batch_iterator(rows: Sequence[dict], batch_size: int, seed: int,
-                   collate: Callable) -> Iterable[dict]:
-    """Infinite shuffled epochs over packed rows."""
+                   collate: Callable, skip: int = 0) -> Iterable[dict]:
+    """Infinite shuffled epochs over packed rows.
+
+    ``skip`` fast-forwards the deterministic batch stream past the first N
+    batches without collating them -- the data-cursor restore for resumed
+    runs (batch k after skip=N equals batch N+k of a fresh iterator).
+    """
     rng = np.random.default_rng(seed)
     order = np.arange(len(rows))
+    skipped = 0
     while True:
         rng.shuffle(order)
         for i in range(0, len(order) - batch_size + 1, batch_size):
+            if skipped < skip:
+                skipped += 1
+                continue
             yield collate([rows[j] for j in order[i : i + batch_size]])
 
 
@@ -78,13 +90,19 @@ def run_sft_loop(
     cfg: LoopConfig,
     checkpoint_manager=None,
     meter=None,
+    start_step: int = 0,
 ):
-    """Drive training for cfg.max_steps; returns (final_state, history)."""
+    """Drive training for cfg.max_steps; returns (final_state, history).
+
+    ``start_step``: resume point -- steps start at start_step+1 and the
+    caller is responsible for fast-forwarding ``batches`` (batch_iterator
+    skip=start_step) and restoring ``state`` from the checkpoint.
+    """
     logger = JsonlLogger(cfg.output_dir, cfg.max_steps)
     history = []
     it = iter(batches)
     t_last = time.perf_counter()
-    for step in range(1, cfg.max_steps + 1):
+    for step in range(start_step + 1, cfg.max_steps + 1):
         batch = next(it)
         state, metrics = step_fn(state, batch)
         if meter is not None or step % max(cfg.logging_steps, 1) == 0:

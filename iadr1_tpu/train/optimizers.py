@@ -20,7 +20,9 @@ class OptimizerConfig:
     schedule: str = "cosine"          # cosine | linear | constant
     warmup_ratio: float = 0.1
     warmup_steps: int | None = None   # overrides warmup_ratio when set
-    total_steps: int = 1000
+    total_steps: int = 0              # 0: CLIs fill in train.max_steps; set
+    # explicitly to decouple the schedule horizon from the run length
+    # (needed so an interrupted run resumes onto the same LR curve)
     min_lr_ratio: float = 0.0
     weight_decay: float = 0.0
     b1: float = 0.9

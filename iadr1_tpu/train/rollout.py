@@ -111,7 +111,12 @@ def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
 
     prefill_batch = {**batch, "position_ids": position_ids,
                      "segment_ids": segs}
-    hidden, cache = bundle.apply(params, prefill_batch, cache=cache)
+    # prefill from the empty cache goes through the fused flash kernel and
+    # writes K/V; decode steps use the ragged decode kernel (cost scales
+    # with valid cache length) -- the vLLM-PagedAttention analogue
+    hidden, cache = bundle.apply(
+        params, prefill_batch, cache=cache, cache_mode="prefill"
+    )
     logits_fn = lambda h: bundle.logits_fn(params, h)
 
     last_logits = logits_fn(hidden[:, -1:, :])[:, 0]          # [B, V]
@@ -135,7 +140,7 @@ def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
             params,
             {"input_ids": token_in[:, None], "position_ids": pos,
              "segment_ids": seg},
-            cache=cache,
+            cache=cache, cache_mode="decode",
         )
         logits = logits_fn(hidden)[:, 0]
         next_token = sample_token(step_rng, logits, sampling)
