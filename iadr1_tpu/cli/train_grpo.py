@@ -153,6 +153,11 @@ def main(argv=None):
     from iadr1_tpu.train.prompts import make_conversation
     from iadr1_tpu.train.state import create_sharded_state
 
+    from iadr1_tpu.core.distributed import maybe_initialize_distributed
+
+    # multi-host pods: wire processes together before any device use
+    maybe_initialize_distributed()
+
     cfg = load_config(GRPOJobConfig, args.config, args.overrides)
     loop_cfg = dataclass_from_dict(LoopConfig, cfg.train)
     opt_cfg = dataclass_from_dict(OptimizerConfig, cfg.optim)

@@ -27,6 +27,10 @@ class ModelSection:
     attention: str = "auto"            # auto | flash | xla
     dtype: str = "float32"             # parameter dtype
     seed: int = 0
+    # context extension (reference: --rope_scaling + --model_max_length,
+    # model_utils/rope.py configure_rope): linear | dynamic | llama3
+    rope_scaling: str | None = None
+    model_max_length: int | None = None
 
 
 @dataclasses.dataclass
@@ -156,17 +160,32 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from iadr1_tpu.core.distributed import maybe_initialize_distributed
+
+    # multi-host pods: wire processes together before any device use
+    maybe_initialize_distributed()
+
     cfg = load_config(SFTJobConfig, args.config, args.overrides)
     loop_cfg = dataclass_from_dict(LoopConfig, cfg.train)
     opt_cfg = dataclass_from_dict(OptimizerConfig, cfg.optim)
 
     dtype = getattr(jnp, cfg.model.dtype)
     if cfg.model.hf_config:
-        bundle = bundle_from_hf_config(cfg.model.hf_config, attention=cfg.model.attention)
+        hf_cfg_dict = cfg.model.hf_config
+    else:
+        with open(os.path.join(cfg.model.model_name_or_path,
+                               "config.json")) as f:
+            hf_cfg_dict = json.load(f)
+    if cfg.model.rope_scaling:
+        from iadr1_tpu.models.registry import configure_rope_scaling
+
+        hf_cfg_dict = configure_rope_scaling(
+            hf_cfg_dict, cfg.model.rope_scaling, cfg.model.model_max_length
+        )
+    bundle = bundle_from_hf_config(hf_cfg_dict, attention=cfg.model.attention)
+    if cfg.model.hf_config:
         params = bundle.init_params(jax.random.PRNGKey(cfg.model.seed), dtype=dtype)
     else:
-        bundle = bundle_from_pretrained(cfg.model.model_name_or_path,
-                                        attention=cfg.model.attention)
         state_dict = load_safetensors_path(cfg.model.model_name_or_path)
         params = bundle.convert_hf(state_dict, dtype=dtype)
 

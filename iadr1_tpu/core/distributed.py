@@ -1,0 +1,129 @@
+"""Multi-host bootstrap: jax.distributed init + per-host data sharding.
+
+The TPU replacement for the reference's torchrun / Ray / DeepSpeed launcher
+layer (scripts/train/*.sh torchrun --nproc_per_node, tuner.py:83-90 Ray
+path, NCCL env in SC_GRPO_*.sh): on TPU pods each *host* runs the same
+program, ``jax.distributed.initialize`` wires the processes together, and
+a single jit program spans every chip over ICI/DCN.
+
+Launch recipe (documented for v5e-64 = 16 hosts x 4 chips):
+
+    # via GKE/xpk the three env vars are injected automatically; manual:
+    COORDINATOR_ADDRESS=host0:8476 NUM_PROCESSES=16 PROCESS_ID=$i \
+        python -m iadr1_tpu.cli.train_sft --config ...
+
+``maybe_initialize_distributed()`` is a no-op for single-process runs, so
+every CLI calls it unconditionally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+
+_ENV_COORD = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
+_ENV_NPROC = ("NUM_PROCESSES", "JAX_NUM_PROCESSES")
+_ENV_PID = ("PROCESS_ID", "JAX_PROCESS_ID")
+
+
+def _env(names: tuple[str, ...]) -> str | None:
+    for n in names:
+        if os.environ.get(n):
+            return os.environ[n]
+    return None
+
+
+def maybe_initialize_distributed() -> bool:
+    """Call jax.distributed.initialize when launched multi-process.
+
+    Returns True when a multi-process runtime was initialized.  Env
+    conventions: explicit COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
+    (manual launch) or the TPU-pod auto-detect path (no env needed --
+    jax.distributed.initialize() with no args on Cloud TPU VMs).
+    """
+    coord = _env(_ENV_COORD)
+    nproc = _env(_ENV_NPROC)
+    pid = _env(_ENV_PID)
+    if coord and nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+        return True
+    # TPU pod slices auto-detect via the metadata server; only attempt when
+    # the env marks a multi-host TPU runtime to keep single-chip/CPU runs
+    # initialization-free.
+    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcessTopology:
+    """What this process sees of the global device space."""
+
+    process_index: int
+    process_count: int
+    local_device_count: int
+    global_device_count: int
+
+    @property
+    def is_primary(self) -> bool:
+        return self.process_index == 0
+
+
+def topology() -> ProcessTopology:
+    return ProcessTopology(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        local_device_count=jax.local_device_count(),
+        global_device_count=jax.device_count(),
+    )
+
+
+def host_batch_slice(global_batch: int) -> slice:
+    """The rows of the global batch this host should feed.
+
+    Data loading is per-host: every host materializes only its slice and
+    ``make_global_batch`` assembles the logically-global array (the
+    torchrun-DistributedSampler analogue).
+    """
+    topo = topology()
+    if global_batch % topo.process_count:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{topo.process_count} processes"
+        )
+    per_host = global_batch // topo.process_count
+    start = topo.process_index * per_host
+    return slice(start, start + per_host)
+
+
+def make_global_batch(local_arrays, mesh, batch_axes=("dp", "fsdp")):
+    """Assemble per-host arrays into global jax.Arrays on a multi-host mesh.
+
+    ``local_arrays``: pytree of numpy arrays holding only this host's rows
+    (see host_batch_slice).  Batch dim 0 is sharded over ``batch_axes``;
+    all other dims are replicated.  Single-process meshes pass through
+    jax.device_put directly.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(batch_axes, *([None] * (x.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape
+        )
+
+    return jax.tree.map(put, local_arrays)

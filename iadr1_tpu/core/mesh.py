@@ -79,10 +79,21 @@ def build_mesh(
     Axis order matters for ICI locality: tp innermost so tensor-parallel
     collectives ride the fastest links, dp outermost.
     """
-    devices = list(devices if devices is not None else jax.devices())
     config = config or MeshConfig()
-    shape = config.resolve(len(devices))
-    dev_array = np.asarray(devices).reshape(shape)
+    if devices is None:
+        shape = config.resolve(jax.device_count())
+        try:
+            # ICI/DCN-aware assignment (multi-host: contiguous local chips
+            # land on the inner axes so tp/fsdp collectives stay on-host/ICI)
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(shape)
+        except Exception:
+            dev_array = np.asarray(jax.devices()).reshape(shape)
+    else:
+        devices = list(devices)
+        shape = config.resolve(len(devices))
+        dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, MESH_AXES)
 
 

@@ -11,7 +11,11 @@ import dataclasses
 
 # Peak bf16 FLOP/s per chip.
 PEAK_FLOPS = {
-    "v5e": 394e12,
+    # bf16 peaks per chip. v5e is 197 TFLOPs bf16 (394 is the *int8* TOPS
+    # figure -- round 1 used it by mistake, halving every reported MFU;
+    # confirmed empirically: clean [896]-contraction bf16 matmuls sustain
+    # ~145 TF/s on this chip, impossible at 394 peak being 37%).
+    "v5e": 197e12,
     "v5p": 459e12,
     "v4": 275e12,
     "v6e": 918e12,

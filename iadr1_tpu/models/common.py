@@ -80,14 +80,68 @@ def rope_inv_freq(head_dim: int, theta: float) -> jax.Array:
     )
 
 
-def rope_cos_sin(position_ids: jax.Array, head_dim: int, theta: float):
+def scaled_rope_inv_freq(
+    head_dim: int,
+    theta: float,
+    scaling=None,                    # models.qwen2.RopeScaling | None
+    seq_len: jax.Array | None = None,
+) -> jax.Array:
+    """Context-extension inverse frequencies (HF ROPE_INIT_FUNCTIONS
+    semantics; reference plumbing: model_utils/rope.py configure_rope).
+
+    * linear: positions effectively divided by ``factor``.
+    * dynamic NTK: base grows with the running sequence length
+      (never below the original max -- HF's growth/reset cache rule).
+    * llama3: piecewise per-frequency scaling between low/high wavelen.
+    """
+    inv = rope_inv_freq(head_dim, theta)
+    if scaling is None:
+        return inv
+    factor = scaling.factor
+    if scaling.type == "linear":
+        return inv / factor
+    if scaling.type == "dynamic":
+        orig = scaling.original_max_position_embeddings
+        if seq_len is None:
+            eff = float(orig)
+        else:
+            eff = jnp.maximum(seq_len.astype(jnp.float32), float(orig))
+        base = theta * ((factor * eff / orig) - (factor - 1.0)) ** (
+            head_dim / (head_dim - 2)
+        )
+        exp = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+        return 1.0 / (base ** exp)
+    if scaling.type == "llama3":
+        orig = scaling.original_max_position_embeddings
+        low_wavelen = orig / scaling.low_freq_factor
+        high_wavelen = orig / scaling.high_freq_factor
+        wavelen = 2.0 * jnp.pi / inv
+        smooth = (orig / wavelen - scaling.low_freq_factor) / (
+            scaling.high_freq_factor - scaling.low_freq_factor
+        )
+        scaled = jnp.where(
+            wavelen > low_wavelen,
+            inv / factor,
+            jnp.where(
+                wavelen < high_wavelen,
+                inv,
+                (1.0 - smooth) * inv / factor + smooth * inv,
+            ),
+        )
+        return scaled
+    raise ValueError(f"unknown rope scaling type {scaling.type!r}")
+
+
+def rope_cos_sin(position_ids: jax.Array, head_dim: int, theta: float,
+                 scaling=None):
     """cos/sin tables for plain 1-D RoPE.
 
     position_ids: [..., T] int -> cos/sin [..., T, head_dim] in float32,
     using the rotate-half (non-interleaved) convention: frequencies are laid
     out as [f0..f_{d/2-1}, f0..f_{d/2-1}].
     """
-    inv_freq = rope_inv_freq(head_dim, theta)
+    seq_len = position_ids.max() + 1 if scaling is not None else None
+    inv_freq = scaled_rope_inv_freq(head_dim, theta, scaling, seq_len)
     freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [...,T,d/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)

@@ -33,6 +33,17 @@ from iadr1_tpu.models.common import (
 
 
 @dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """Context-extension RoPE scaling (reference: model_utils/rope.py
+    configure_rope -> HF rope_scaling dict; types linear/dynamic/llama3)."""
+    type: str = "linear"
+    factor: float = 1.0
+    original_max_position_embeddings: int = 32768
+    low_freq_factor: float = 1.0      # llama3 only
+    high_freq_factor: float = 4.0     # llama3 only
+
+
+@dataclasses.dataclass(frozen=True)
 class Qwen2Config:
     vocab_size: int = 151936
     hidden_size: int = 1536
@@ -47,6 +58,7 @@ class Qwen2Config:
     tie_word_embeddings: bool = False
     attention_bias: bool = True          # qwen2 uses qkv biases
     mrope_section: tuple[int, ...] | None = None  # set for Qwen2-VL text model
+    rope_scaling: RopeScaling | None = None       # context extension
 
     @property
     def head_dim_(self) -> int:
@@ -258,7 +270,10 @@ def apply(
             position_ids, cfg.head_dim_, cfg.rope_theta, cfg.mrope_section
         )
     else:
-        cos, sin = rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
+        cos, sin = rope_cos_sin(
+            position_ids, cfg.head_dim_, cfg.rope_theta,
+            scaling=cfg.rope_scaling,
+        )
 
     if segment_ids is None:
         segment_ids = jnp.ones((B, T), jnp.int32)

@@ -61,6 +61,61 @@ class ModelBundle:
         return _q.head_kernel(tparams, tcfg)
 
 
+def _parse_rope_scaling(hf: dict) -> "qwen2.RopeScaling | None":
+    rs = hf.get("rope_scaling")
+    if not rs:
+        return None
+    rtype = rs.get("rope_type", rs.get("type"))
+    if rtype in (None, "mrope", "default"):
+        return None  # mrope is handled via mrope_section
+    if rtype == "dynamic":
+        # HF's _compute_dynamic_ntk_parameters keys the NTK base off
+        # config.max_position_embeddings, NOT the rope_scaling dict's
+        # original_max_position_embeddings (which it ignores) -- parity
+        # requires matching that
+        orig = int(hf.get("max_position_embeddings", 32768))
+    else:
+        orig = int(rs.get("original_max_position_embeddings",
+                          hf.get("max_position_embeddings", 32768)))
+    return qwen2.RopeScaling(
+        type=rtype,
+        factor=float(rs.get("factor", 1.0)),
+        original_max_position_embeddings=orig,
+        low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+        high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+    )
+
+
+def configure_rope_scaling(hf_config: dict, rope_scaling: str,
+                           model_max_length: int | None) -> dict:
+    """Mutate an HF config dict for context extension, mirroring the
+    reference's configure_rope (model_utils/rope.py:34-71): the factor is
+    ceil(model_max_length / max_position_embeddings) when extending, else
+    a fixed 2.0."""
+    import math
+
+    out = dict(hf_config)
+    current_max = out.get("max_position_embeddings", 32768)
+    rs: dict = {"rope_type": rope_scaling}
+    if model_max_length:
+        if model_max_length > current_max:
+            rs["factor"] = float(math.ceil(model_max_length / current_max))
+            out["max_position_embeddings"] = model_max_length
+        else:
+            rs["factor"] = 1.0
+        if rope_scaling in ("dynamic", "llama3"):
+            rs["original_max_position_embeddings"] = current_max
+        if rope_scaling == "llama3":
+            rs["low_freq_factor"] = 1.0
+            rs["high_freq_factor"] = 4.0
+    else:
+        rs["factor"] = 2.0
+        if rope_scaling in ("dynamic", "llama3"):
+            rs["original_max_position_embeddings"] = current_max
+    out["rope_scaling"] = rs
+    return out
+
+
 def _qwen2_text_cfg(hf: dict) -> qwen2.Qwen2Config:
     return qwen2.Qwen2Config(
         vocab_size=hf["vocab_size"],
@@ -77,6 +132,7 @@ def _qwen2_text_cfg(hf: dict) -> qwen2.Qwen2Config:
         mrope_section=tuple(hf["rope_scaling"]["mrope_section"])
         if hf.get("rope_scaling") and "mrope_section" in hf["rope_scaling"]
         else None,
+        rope_scaling=_parse_rope_scaling(hf),
     )
 
 

@@ -170,3 +170,52 @@ def test_grads_flow(jax_setup):
     # every parameter receives gradient signal
     nonzero = [float(jnp.sum(jnp.abs(g))) > 0 for g in flat]
     assert all(nonzero)
+
+
+@pytest.mark.parametrize("rope_type", ["linear", "dynamic"])
+def test_rope_scaling_parity(rope_type):
+    """Logit parity with HF under rope_scaling at positions beyond the
+    original max (reference: model_utils/rope.py configure_rope)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config as HFQwen2Config
+    from transformers import Qwen2ForCausalLM
+
+    from iadr1_tpu.models.registry import make_qwen2_bundle
+    from iadr1_tpu.models.params_io import hf_state_from_torch
+
+    orig_max = 16
+    scaled = dict(
+        TINY,
+        max_position_embeddings=orig_max * 4,
+        rope_scaling={
+            "rope_type": rope_type, "factor": 4.0,
+            "original_max_position_embeddings": orig_max,
+        },
+    )
+    torch.manual_seed(1)
+    hf_model = Qwen2ForCausalLM(
+        HFQwen2Config(**scaled, attention_dropout=0.0)
+    ).eval()
+
+    # beyond even the enlarged 64-token max: exercises the dynamic-NTK
+    # growth path (HF only rescales past config.max_position_embeddings)
+    B, T = 2, 96
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, TINY["vocab_size"], (B, T))
+    import torch as _t
+    with _t.no_grad():
+        hf_out = hf_model(_t.tensor(ids)).logits.numpy()
+
+    bundle = make_qwen2_bundle(
+        {**scaled, "architectures": ["Qwen2ForCausalLM"]}, attention="xla",
+        precision=FULL_PRECISION,
+    )
+    assert bundle.cfg.rope_scaling is not None
+    assert bundle.cfg.rope_scaling.type == rope_type
+    params = convert_qwen2(hf_state_from_torch(hf_model), bundle.cfg)
+    pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+    batch = {"input_ids": jnp.asarray(ids), "position_ids": pos,
+             "segment_ids": jnp.ones((B, T), jnp.int32)}
+    ours = np.asarray(jax.jit(
+        lambda p, b: bundle.forward(p, b, remat=False))(params, batch))
+    np.testing.assert_allclose(ours, hf_out, rtol=2e-4, atol=2e-4)
