@@ -30,7 +30,13 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--max-prompt-length", type=int, default=1024)
     parser.add_argument("--max-new-tokens", type=int, default=512)
-    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--temperature", type=float, default=None,
+                        help="default: 0.0 (iad mode) / 0.7 (pretrain mode)")
+    parser.add_argument("--mode", choices=["iad", "pretrain"], default="iad",
+                        help="pretrain: base-checkpoint evaluation -- "
+                        "'Please answer by yes or no' system prompt, "
+                        "temperature 0.7, tag-free answer parsing "
+                        "(scripts/Inference/Pretrain-Inference/*)")
     parser.add_argument("--max-pixels", type=int, default=480000)
     parser.add_argument("--patch-budget", type=int, default=4096)
     parser.add_argument("--template", default=None)
@@ -45,11 +51,13 @@ def main(argv=None):
     from iadr1_tpu.data.template import get_template
     from iadr1_tpu.eval.generator import GeneratorConfig, VLMGenerator
     from iadr1_tpu.eval.harness import (
+        PRETRAIN_SYSTEM_PROMPT,
         build_messages,
         load_benchmark,
         run_benchmark,
         summarize,
     )
+    from iadr1_tpu.eval.mcq import extract_option_answer_pretrain
     from iadr1_tpu.models.params_io import load_safetensors_path
     from iadr1_tpu.models.registry import bundle_from_pretrained
 
@@ -60,12 +68,16 @@ def main(argv=None):
     tokenizer = AutoTokenizer.from_pretrained(args.model_path)
     template = get_template(args.template or bundle.template)
 
+    pretrain = args.mode == "pretrain"
+    temperature = args.temperature
+    if temperature is None:
+        temperature = 0.7 if pretrain else 0.0
     gen = VLMGenerator(
         bundle, params, tokenizer, template,
         GeneratorConfig(
             max_prompt_length=args.max_prompt_length,
             max_new_tokens=args.max_new_tokens,
-            temperature=args.temperature,
+            temperature=temperature,
             batch_size=args.batch_size,
             patch_budget=args.patch_budget,
             max_pixels=args.max_pixels,
@@ -82,16 +94,19 @@ def main(argv=None):
             images = [
                 os.path.join(args.image_dir, p) for p in item.few_shot
             ] + [os.path.join(args.image_dir, item.image)]
-            requests.append(
-                {"messages": build_messages(item), "images": images}
+            messages = build_messages(
+                item,
+                system_prompt=PRETRAIN_SYSTEM_PROMPT if pretrain else None,
             )
+            requests.append({"messages": messages, "images": images})
         return gen.generate(requests)
 
     os.makedirs(args.output_dir, exist_ok=True)
     shot = args.num_shot
     answers_path = os.path.join(args.output_dir, f"answers_{shot}_shot.json")
     answers = run_benchmark(
-        items, generate_fn, answers_path, batch_size=args.batch_size
+        items, generate_fn, answers_path, batch_size=args.batch_size,
+        answer_extractor=extract_option_answer_pretrain if pretrain else None,
     )
     df = summarize(answers_path, normal_flag=args.normal_flag)
     print(df.round(2).to_string())

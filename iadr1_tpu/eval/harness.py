@@ -61,9 +61,15 @@ def load_benchmark(path: str, num_shot: int = 0,
     return items
 
 
-def build_messages(item: EvalItem, question_text: str | None = None) -> list[dict]:
+PRETRAIN_SYSTEM_PROMPT = "Please answer by yes or no"  # Pretrain-Inference
+# drivers prepend this system message (vLLM_Qwen_detect.py:87-90)
+
+
+def build_messages(item: EvalItem, question_text: str | None = None,
+                   system_prompt: str | None = None) -> list[dict]:
     """User message with image placeholders + the question (reference
-    build_prompt, :88-128)."""
+    build_prompt, :88-128).  ``system_prompt`` prepends a system turn
+    (pretrain-variant drivers)."""
     parts = []
     if item.few_shot:
         parts.append(FEW_SHOT_PREAMBLE.format(n=len(item.few_shot)))
@@ -71,7 +77,10 @@ def build_messages(item: EvalItem, question_text: str | None = None) -> list[dic
         parts.append(FEW_SHOT_TEST_MARKER)
     parts.append("<image>")
     parts.append(question_text or EVAL_QUESTION)
-    return [{"role": "user", "content": "".join(parts)}]
+    messages = [{"role": "user", "content": "".join(parts)}]
+    if system_prompt:
+        messages.insert(0, {"role": "system", "content": system_prompt})
+    return messages
 
 
 def run_benchmark(
@@ -80,6 +89,7 @@ def run_benchmark(
     answers_path: str,
     batch_size: int = 4,
     save_every: int = 1,
+    answer_extractor: Callable[[str, dict | None], str] | None = None,
 ) -> list[dict]:
     """Drive generation over items, resumably appending to answers_path.
 
@@ -95,8 +105,9 @@ def run_benchmark(
     for i in range(0, len(todo), batch_size):
         batch = todo[i : i + batch_size]
         responses = generate_fn(batch)
+        extractor = answer_extractor or extract_option_answer
         for item, resp in zip(batch, responses):
-            letter = extract_option_answer(resp, item.question.options)
+            letter = extractor(resp, item.question.options)
             answers.append({
                 "image": item.image,
                 "question": {"text": item.question.text},

@@ -91,3 +91,32 @@ def extract_option_answer(response_text: str, options: dict[str, str] | None = N
         if answer in clean or clean in answer:
             return letter
     return "E"
+
+
+def extract_option_answer_pretrain(
+    response_text: str, options: dict[str, str] | None = None
+) -> str:
+    """Tag-free answer mapping for base-model (pretrain) checkpoints.
+
+    Mirrors the Pretrain-Inference drivers' get_ans
+    (scripts/Inference/Pretrain-Inference/vLLM_Qwen_detect.py:141-161):
+    the whole response is the answer (no <answer> tag); exact match strips
+    trailing '.' or '!'; the substring fallback compares the *raw-case*
+    response against lowercased option text (reference quirk, kept for
+    behavior parity); else 'E'.
+    """
+    try:
+        if options is None:
+            return response_text
+        for letter, value in options.items():
+            v = value.lower().strip(".")
+            if (response_text.lower().strip(".") == v
+                    or response_text.lower().strip("!") == v):
+                return letter
+        for letter, value in options.items():
+            clean = value.lower().strip(".").strip()
+            if response_text in clean or clean in response_text:
+                return letter
+        return "E"
+    except (AttributeError, TypeError):
+        return "E"

@@ -96,14 +96,16 @@ def chunked_token_logps(
 
 
 def completion_logps(score_fn, params, batch,
-                     chunk_size: int = 1024) -> jax.Array:
+                     chunk_size: int = 1024, aux=None) -> jax.Array:
     """Per-token logps of completion tokens given the full sequence.
 
-    ``score_fn(params, batch) -> (hidden [B, P+N, H], head_kernel [H, V])``.
+    ``score_fn(params, batch, aux) -> (hidden [B,P+N,H], head_kernel [H,V])``;
+    ``aux`` carries extra traced parameters (the frozen LoRA base) so they
+    enter jit as arguments, never as baked-in constants.
     batch: input_ids [B, P+N] (prompt left-padded + completion),
     segment_ids, position_ids.  Returns [B, N] log p(token | prefix).
     """
-    hidden, kernel = score_fn(params, batch)
+    hidden, kernel = score_fn(params, batch, aux)
     P = batch["prompt_len"]
     N = batch["completion_ids"].shape[1]
     # hidden states at positions P-1 .. P+N-2 predict completion tokens 0..N-1
@@ -114,8 +116,8 @@ def completion_logps(score_fn, params, batch,
 
 
 def bundle_score_fn(bundle, remat: bool = True):
-    """Default score_fn for a registry ModelBundle."""
-    def score(params, batch):
+    """Default score_fn for a registry ModelBundle (ignores aux)."""
+    def score(params, batch, aux=None):
         return bundle.hidden_fn(params, batch, remat=remat), \
             bundle.head_kernel_fn(params)
 
@@ -126,11 +128,14 @@ def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
                           schedule=None, ref_score_fn=None):
     """(state, ref_params, batch) -> (new_state, metrics).
 
-    ``score_fn(params, batch) -> (hidden, head_kernel)`` (see
-    bundle_score_fn).  ``ref_score_fn`` overrides scoring of the reference
-    model -- used for LoRA ref-model elision where the frozen base weights
-    ARE the reference (trl PEFT-ref-None path, sc_grpo_trainer.py:153-182)
-    and ``ref_params`` passed to the step can be an empty pytree.
+    ``score_fn(params, batch, aux) -> (hidden, head_kernel)`` (see
+    bundle_score_fn); ``aux`` is the step's ``ref_params`` pytree, passed
+    through so LoRA-mode scoring can reach the frozen base as a traced jit
+    argument rather than a multi-GB baked constant.  ``ref_score_fn``
+    overrides scoring of the reference model -- used for LoRA ref-model
+    elision where the frozen base weights ARE the reference (trl
+    PEFT-ref-None path, sc_grpo_trainer.py:153-182): pass the base as
+    ``ref_params``.
 
     batch fields: input_ids [B, P+N], segment_ids, position_ids,
     completion_ids [B, N], completion_mask [B, N], advantages [B],
@@ -145,10 +150,11 @@ def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
 
         def loss_fn(params):
             logps = completion_logps(
-                score_fn, params, batch, cfg.logp_chunk_size
+                score_fn, params, batch, cfg.logp_chunk_size, aux=ref_params
             )
             ref_logps = completion_logps(
-                ref_score_fn, ref_params, batch, cfg.logp_chunk_size
+                ref_score_fn, ref_params, batch, cfg.logp_chunk_size,
+                aux=ref_params,
             )
             ref_logps = jax.lax.stop_gradient(ref_logps)
 
@@ -244,16 +250,19 @@ class GRPOTrainer:
 
             if tuning_cfg is None or tuning_cfg.finetuning_type != "lora":
                 raise ValueError("base_params requires a LoRA TuningConfig")
-            self.ref_params = {}  # elided: the base IS the reference
+            # the frozen base rides the ref_params slot: one weight copy
+            # total, entering every jit program as an argument (closing
+            # over it would bake multi-GB constants into the executable)
+            self.ref_params = base_params
             base_score = bundle_score_fn(bundle)
 
-            def score(lora_params, batch):
-                merged = merge_lora(base_params, lora_params, tuning_cfg)
+            def score(lora_params, batch, base):
+                merged = merge_lora(base, lora_params, tuning_cfg)
                 return base_score(merged, batch)
 
-            ref_score = lambda _unused, batch: base_score(base_params, batch)
+            ref_score = lambda base, batch, _aux: base_score(base, batch)
             self._merge_for_rollout = jax.jit(
-                lambda lora: merge_lora(base_params, lora, tuning_cfg)
+                lambda base, lora: merge_lora(base, lora, tuning_cfg)
             )
             self.update_step = make_grpo_update_step(
                 score, optimizer, cfg, schedule, ref_score_fn=ref_score
@@ -317,7 +326,7 @@ class GRPOTrainer:
             batch = self._collate_prompts(examples)
         self._rng, sub = jax.random.split(self._rng)
         rollout_params = (
-            self._merge_for_rollout(self.state.params)
+            self._merge_for_rollout(self.ref_params, self.state.params)
             if self._merge_for_rollout is not None else self.state.params
         )
         rollout = self.engine.generate(rollout_params, batch, sub)

@@ -156,3 +156,48 @@ def test_mvtec_per_class_summary():
     # anomalous questions 2-4 always wrong
     assert df.at["cable", "Defect Type"] == pytest.approx(0.0)
     assert "Average" in df.index
+
+
+def test_pretrain_answer_extraction_goldens():
+    """Goldens generated by executing the reference Pretrain-Inference
+    get_ans (vLLM_Qwen_detect.py:141-161), quirks included: the empty
+    string substring-matches the first option, and raw-case containment
+    means 'Yes, ...' fails where 'yes' succeeds."""
+    from iadr1_tpu.eval.mcq import extract_option_answer_pretrain
+
+    opts = {"A": "Yes.", "B": "No."}
+    goldens = [
+        ("Yes.", "A"), ("No.", "B"), ("yes", "A"), ("NO", "B"),
+        ("Yes!", "A"), ("no!", "B"), ("There is a defect, yes", "A"),
+        ("the answer is no.", "B"), ("I think B", "E"), ("maybe", "E"),
+        ("", "A"), ("Yes, there are defects.", "E"), ("no", "B"),
+        ("Defect present", "E"), ("<answer>No</answer>", "E"),
+    ]
+    for text, want in goldens:
+        assert extract_option_answer_pretrain(text, opts) == want, text
+    assert extract_option_answer_pretrain("whatever", None) == "whatever"
+
+
+def test_pretrain_mode_harness_plumbing(tmp_path):
+    """run_benchmark with the pretrain extractor + system prompt."""
+    import json as _json
+
+    from iadr1_tpu.eval.harness import (
+        PRETRAIN_SYSTEM_PROMPT, EvalItem, build_messages, run_benchmark,
+    )
+    from iadr1_tpu.eval.mcq import MCQQuestion, extract_option_answer_pretrain
+
+    q = MCQQuestion(text="Q", options={"A": "Yes.", "B": "No."}, answer="B",
+                    question_type="Anomaly Detection")
+    items = [EvalItem(image=f"ds/good/{i}.png", question=q) for i in range(3)]
+
+    msgs = build_messages(items[0], system_prompt=PRETRAIN_SYSTEM_PROMPT)
+    assert msgs[0] == {"role": "system", "content": "Please answer by yes or no"}
+
+    out = tmp_path / "answers_0_shot.json"
+    answers = run_benchmark(
+        items, lambda batch: ["No." for _ in batch], str(out),
+        answer_extractor=extract_option_answer_pretrain,
+    )
+    assert [a["gpt_answer"] for a in answers] == ["B", "B", "B"]
+    assert len(_json.load(open(out))) == 3

@@ -123,18 +123,20 @@ def test_lora_ref_elision_update_step():
 
     base_score = bundle_score_fn(bundle)
 
-    def score(lora_params, batch):
-        return base_score(merge_lora(base, lora_params, tcfg), batch)
+    # the frozen base enters via the ref_params slot (jit argument, not a
+    # baked constant)
+    def score(lora_params, batch, base_aux):
+        return base_score(merge_lora(base_aux, lora_params, tcfg), batch)
 
     cfg = GRPOConfig(num_generations=2, beta=0.04, logp_chunk_size=4)
     step = make_grpo_update_step(
         score, optimizer, cfg,
-        ref_score_fn=lambda _unused, b: base_score(base, b),
+        ref_score_fn=lambda base_aux, b, _aux: base_score(base_aux, b),
     )
     batch = _grpo_batch()
     base_before = jax.tree.map(lambda x: np.asarray(x).copy(), base)
     lora_before = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
-    new_state, metrics = step(state, {}, batch)
+    new_state, metrics = step(state, base, batch)
     assert np.isfinite(float(metrics["loss"]))
     # LoRA B starts at zero -> merged == base -> KL to base is exactly 0
     assert abs(float(metrics["kl"])) < 1e-5
