@@ -59,10 +59,22 @@ class GRPOSection:
 
 
 @dataclasses.dataclass
+class GRPOTuningSection:
+    # "lora" trains factored adapters over a frozen bf16 base and elides
+    # the reference model (the base IS the KL reference -- trl
+    # PEFT-ref-None path): one weight copy total, the memory mode for 7B
+    finetuning_type: str = "full"     # full | lora
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+
+
+@dataclasses.dataclass
 class GRPOJobConfig:
     model: GRPOModelSection = dataclasses.field(default_factory=GRPOModelSection)
     data: GRPODataSection = dataclasses.field(default_factory=GRPODataSection)
     grpo: GRPOSection = dataclasses.field(default_factory=GRPOSection)
+    finetuning: GRPOTuningSection = dataclasses.field(
+        default_factory=GRPOTuningSection)
     mesh: dict = dataclasses.field(default_factory=dict)
     optim: dict = dataclasses.field(default_factory=dict)
     train: dict = dataclasses.field(default_factory=dict)
@@ -222,24 +234,42 @@ def main(argv=None):
     mesh = build_mesh(dataclass_from_dict(MeshConfig, cfg.mesh))
     shardings = pytree_shardings(bundle.logical_axes(), mesh)
     params = jax.device_put(params, shardings)
-    ref_dtype = getattr(jnp, cfg.model.ref_dtype)
-    ref_params = jax.tree.map(lambda x: x.astype(ref_dtype), params)
 
     if not opt_cfg.total_steps:
         opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
     optimizer, schedule = make_optimizer(opt_cfg)
-    state = create_sharded_state(params, optimizer)
 
     collator = (
         make_vlm_prompt_collator(bundle, tokenizer, template, cfg.data,
                                  grpo_cfg.max_prompt_length)
         if bundle.multimodal else None
     )
-    trainer = GRPOTrainer(
-        bundle, tokenizer, optimizer, grpo_cfg,
-        get_reward_funcs(cfg.grpo.reward_funcs), state, ref_params,
-        schedule=schedule, template=template, prompt_collator=collator,
-    )
+    if cfg.finetuning.finetuning_type == "lora":
+        from iadr1_tpu.train.adapters import TuningConfig, init_lora_params
+
+        tuning_cfg = TuningConfig(
+            finetuning_type="lora", lora_rank=cfg.finetuning.lora_rank,
+            lora_alpha=cfg.finetuning.lora_alpha,
+        )
+        lora = init_lora_params(
+            jax.random.PRNGKey(cfg.model.seed + 1), params, tuning_cfg
+        )
+        state = create_sharded_state(lora, optimizer)
+        trainer = GRPOTrainer(
+            bundle, tokenizer, optimizer, grpo_cfg,
+            get_reward_funcs(cfg.grpo.reward_funcs), state, None,
+            schedule=schedule, template=template, prompt_collator=collator,
+            base_params=params, tuning_cfg=tuning_cfg,
+        )
+    else:
+        ref_dtype = getattr(jnp, cfg.model.ref_dtype)
+        ref_params = jax.tree.map(lambda x: x.astype(ref_dtype), params)
+        state = create_sharded_state(params, optimizer)
+        trainer = GRPOTrainer(
+            bundle, tokenizer, optimizer, grpo_cfg,
+            get_reward_funcs(cfg.grpo.reward_funcs), state, ref_params,
+            schedule=schedule, template=template, prompt_collator=collator,
+        )
 
     logger = JsonlLogger(loop_cfg.output_dir, loop_cfg.max_steps)
     ckpt = CheckpointManager(

@@ -55,10 +55,14 @@ def maybe_initialize_distributed() -> bool:
             process_id=int(pid),
         )
         return True
-    # TPU pod slices auto-detect via the metadata server; only attempt when
-    # the env marks a multi-host TPU runtime to keep single-chip/CPU runs
-    # initialization-free.
-    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+    # TPU pod slices auto-detect via the metadata server.  The marker must
+    # name MULTIPLE workers: single-host runtimes (including tunneled
+    # single-chip setups) also export TPU_WORKER_HOSTNAMES with one entry,
+    # and jax.distributed.initialize() would fail there.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len(hostnames.split(",")) > 1 or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
         jax.distributed.initialize()
         return True
     return False

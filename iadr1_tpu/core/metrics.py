@@ -51,6 +51,19 @@ def transformer_flops_per_token(
     return float(total)
 
 
+def vit_flops_per_patch(
+    hidden: int,
+    intermediate: int,
+    num_layers: int,
+    attn_window: int,
+) -> float:
+    """Forward FLOPs per ViT patch (qkv/o + MLP + windowed attention)."""
+    per_layer = 2 * hidden * hidden * 4            # qkv + o proj
+    per_layer += 2 * 2 * hidden * intermediate     # MLP (2 matmuls)
+    per_layer += 2 * 2 * hidden * attn_window      # qk^T + pv, full window
+    return float(num_layers * per_layer)
+
+
 @dataclasses.dataclass
 class ThroughputMeter:
     """Accumulates step timings -> tokens/sec/chip and MFU."""

@@ -74,13 +74,16 @@ class VLMBatchBuilder:
                         patches_list.append(flat)
                         grids.append(grid)
 
-        grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
-
         # positions per packed segment: M-RoPE grids for qwen-vl families,
-        # the rows' plain restarting positions otherwise.
+        # the rows' plain restarting positions otherwise.  Grid tuples are
+        # family-specific (qwen: (t,h,w); llava anyres: (n_h,n_w,oh,ow)) so
+        # the (t,h,w) reshape happens only on the M-RoPE path --
+        # vision_arrays receives the raw per-family grids.
         tcfg = getattr(self.bundle.cfg, "text", self.bundle.cfg)
         if tcfg.mrope_section is not None:
             from iadr1_tpu.vision.mrope import get_mrope_positions
+
+            grid_thw = np.asarray(grids, np.int64).reshape(-1, 3)
 
             position_ids = np.zeros((3, B, T), np.int64)
             gi = 0

@@ -127,6 +127,8 @@ def apply(
     precision: Precision = DEFAULT_PRECISION,
     attention_fn: Callable | None = None,
     decode_attention_fn: Callable | None = None,
+    lora: dict | None = None,
+    lora_scale: float = 1.0,
     remat: bool = False,
 ) -> tuple[jax.Array, dict | None]:
     embeds = common.embed_lookup(
@@ -157,6 +159,7 @@ def apply(
         cache_mode=cache_mode, precision=precision,
         attention_fn=attention_fn, decode_attention_fn=decode_attention_fn,
         remat=remat,
+        lora=lora.get("text") if lora else None, lora_scale=lora_scale,
     )
 
 

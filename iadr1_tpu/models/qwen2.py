@@ -175,6 +175,19 @@ def init_cache(cfg: Qwen2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -
 # ---------------------------------------------------------------------------
 
 
+def _lora_dense(x, kernel, bias, ab, scale):
+    """dense() plus a factored LoRA delta: y += scale * (x @ A) @ B.
+
+    Never materializes the merged [in, out] weight -- backward cotangents
+    stay activation-shaped (merging materializes weight-shaped d_merged
+    tensors, ~1 GB each at 7B MLP shapes; measured HBM OOM)."""
+    y = dense(x, kernel, bias)
+    if ab is not None:
+        xa = jnp.einsum("...i,ir->...r", x, ab["a"].astype(x.dtype))
+        y = y + scale * jnp.einsum("...r,ro->...o", xa, ab["b"].astype(x.dtype))
+    return y
+
+
 def _layer(
     cfg: Qwen2Config,
     h: jax.Array,
@@ -185,15 +198,28 @@ def _layer(
     write_idx: jax.Array | None,
     attention_fn: Callable,
     attend_fresh: bool = False,
+    layer_lora: dict | None = None,
+    lora_scale: float = 1.0,
 ):
     B, T, _ = h.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     attn_p = layer_params["attn"]
 
+    def la(*path):
+        node = layer_lora
+        for p in path:
+            if node is None:
+                return None
+            node = node.get(p)
+        return node
+
     x = rms_norm(h, layer_params["input_norm"], cfg.rms_norm_eps)
-    q = dense(x, attn_p["q"]["kernel"], attn_p["q"].get("bias"))
-    k = dense(x, attn_p["k"]["kernel"], attn_p["k"].get("bias"))
-    v = dense(x, attn_p["v"]["kernel"], attn_p["v"].get("bias"))
+    q = _lora_dense(x, attn_p["q"]["kernel"], attn_p["q"].get("bias"),
+                    la("attn", "q", "kernel"), lora_scale)
+    k = _lora_dense(x, attn_p["k"]["kernel"], attn_p["k"].get("bias"),
+                    la("attn", "k", "kernel"), lora_scale)
+    v = _lora_dense(x, attn_p["v"]["kernel"], attn_p["v"].get("bias"),
+                    la("attn", "v", "kernel"), lora_scale)
     q = q.reshape(B, T, H, D)
     k = k.reshape(B, T, Hkv, D)
     v = v.reshape(B, T, Hkv, D)
@@ -215,14 +241,20 @@ def _layer(
             k, v = ck, cv
 
     attn_out = attention_fn(q, k, v)
-    attn_out = dense(attn_out.reshape(B, T, H * D), attn_p["o"]["kernel"])
+    attn_out = _lora_dense(attn_out.reshape(B, T, H * D),
+                           attn_p["o"]["kernel"], None,
+                           la("attn", "o", "kernel"), lora_scale)
     h = h + attn_out
 
     x = rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps)
     mlp_p = layer_params["mlp"]
-    h = h + swiglu(
-        x, mlp_p["gate"]["kernel"], mlp_p["up"]["kernel"], mlp_p["down"]["kernel"]
-    )
+    gate = _lora_dense(x, mlp_p["gate"]["kernel"], None,
+                       la("mlp", "gate", "kernel"), lora_scale)
+    up = _lora_dense(x, mlp_p["up"]["kernel"], None,
+                     la("mlp", "up", "kernel"), lora_scale)
+    down_in = jax.nn.silu(gate) * up
+    h = h + _lora_dense(down_in, mlp_p["down"]["kernel"], None,
+                        la("mlp", "down", "kernel"), lora_scale)
     return h, new_cache_kv
 
 
@@ -240,6 +272,8 @@ def apply(
     attention_fn: Callable | None = None,
     decode_attention_fn: Callable | None = None,
     remat: bool = False,
+    lora: dict | None = None,
+    lora_scale: float = 1.0,
 ) -> tuple[jax.Array, dict | None]:
     """Run the decoder stack; returns (hidden_states [B,T,hid], new_cache).
 
@@ -339,13 +373,14 @@ def apply(
             )
 
     def scan_body(h, xs):
-        layer_params, layer_cache = xs
+        layer_params, layer_lora, layer_cache = xs
         cache_kv = (
             (layer_cache["k"], layer_cache["v"]) if layer_cache is not None else None
         )
         h, new_kv = _layer(
             cfg, h, layer_params, cos, sin, cache_kv, write_idx, attn,
             attend_fresh=attend_fresh,
+            layer_lora=layer_lora, lora_scale=lora_scale,
         )
         ys = {"k": new_kv[0], "v": new_kv[1]} if new_kv is not None else None
         return h, ys
@@ -366,7 +401,12 @@ def apply(
     layer_cache = (
         {"k": cache["k"], "v": cache["v"]} if cache is not None else None
     )
-    h, new_kv = jax.lax.scan(body, h, (params["layers"], layer_cache))
+    # lora: pytree parallel to params["layers"] with {"a","b"} at targeted
+    # kernels (adapters.init_lora_params output; None entries are empty
+    # pytrees and vanish from scan leaves); factors are scan-stacked like
+    # the kernels themselves
+    layer_lora = lora.get("layers", lora) if lora is not None else None
+    h, new_kv = jax.lax.scan(body, h, (params["layers"], layer_lora, layer_cache))
 
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
 

@@ -340,6 +340,8 @@ def apply(
     precision: Precision = DEFAULT_PRECISION,
     attention_fn: Callable | None = None,
     decode_attention_fn: Callable | None = None,
+    lora: dict | None = None,
+    lora_scale: float = 1.0,
     vision_attention_fn: Callable | None = None,
     remat: bool = False,
 ) -> tuple[jax.Array, dict | None]:
@@ -361,6 +363,7 @@ def apply(
         segment_ids=segment_ids, cache=cache, cache_mode=cache_mode,
         precision=precision, attention_fn=attention_fn,
         decode_attention_fn=decode_attention_fn, remat=remat,
+        lora=lora.get("text") if lora else None, lora_scale=lora_scale,
     )
 
 

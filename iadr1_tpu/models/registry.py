@@ -48,9 +48,10 @@ class ModelBundle:
     template: str = "chatml"
 
     # memory-efficient training path: final hidden states + LM-head kernel
-    # for the chunked CE loss (train/sft.py chunked_sft_loss)
-    def hidden_fn(self, params, batch, remat=True):
-        h, _ = self.apply(params, batch, remat=remat)
+    # for the chunked CE loss (train/sft.py chunked_sft_loss); extra kwargs
+    # (lora=, lora_scale=) pass through to apply
+    def hidden_fn(self, params, batch, remat=True, **kw):
+        h, _ = self.apply(params, batch, remat=remat, **kw)
         return h
 
     def head_kernel_fn(self, params):
@@ -188,13 +189,15 @@ def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
         )
         return qwen2.logits(params, cfg, h, precision)
 
-    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0):
         return qwen2.apply(
             params, cfg, batch["input_ids"],
             position_ids=batch["position_ids"],
             segment_ids=batch.get("segment_ids"),
             cache=cache, cache_mode=cache_mode, precision=precision,
             attention_fn=attn, decode_attention_fn=decode_attn, remat=remat,
+            lora=lora, lora_scale=lora_scale,
         )
 
     from iadr1_tpu.models.params_io import convert_qwen2
@@ -245,7 +248,8 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
     vision_keys = ("patches", "rot_cos", "rot_sin", "vision_segments",
                    "scatter_rows", "scatter_cols")
 
-    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0):
         return qwen2_vl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             patches=batch.get("patches"),
@@ -255,6 +259,7 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
+            lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn,
             vision_attention_fn=attn, remat=remat,
         )
@@ -338,7 +343,8 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
     attn = default_attention(attention)
     decode_attn = default_decode_attention(attention)
 
-    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0):
         return qwen25_vl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             patches=batch.get("patches"),
@@ -349,6 +355,7 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
+            lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn,
             vision_attention_fn=attn, remat=remat,
         )
@@ -448,7 +455,8 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
     decode_attn = default_decode_attention(attention)
     g = vcfg.grid
 
-    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0):
         return llava_onevision.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
@@ -459,6 +467,7 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
+            lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn, remat=remat,
         )
 
@@ -575,7 +584,8 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
     decode_attn = default_decode_attention(attention)
     g = vcfg.grid
 
-    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0):
         return llava.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
@@ -586,6 +596,7 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
+            lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn, remat=remat,
         )
 
@@ -713,7 +724,8 @@ def make_internvl_bundle(hf_config: dict, attention: str = "auto",
     decode_attn = default_decode_attention(attention)
     g = vcfg.grid
 
-    def apply(params, batch, cache=None, remat=False, cache_mode="extend"):
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0):
         return internvl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
@@ -721,6 +733,7 @@ def make_internvl_bundle(hf_config: dict, attention: str = "auto",
             scatter_cols=batch.get("scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
+            lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn, remat=remat,
         )
 

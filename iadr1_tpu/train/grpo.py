@@ -246,30 +246,39 @@ class GRPOTrainer:
             max_len=cfg.max_prompt_length + cfg.max_completion_length,
         )
         if base_params is not None:
-            from iadr1_tpu.train.adapters import merge_lora
-
             if tuning_cfg is None or tuning_cfg.finetuning_type != "lora":
                 raise ValueError("base_params requires a LoRA TuningConfig")
             # the frozen base rides the ref_params slot: one weight copy
             # total, entering every jit program as an argument (closing
-            # over it would bake multi-GB constants into the executable)
+            # over it would bake multi-GB constants into the executable).
+            # LoRA is applied *factored* (y += s*(x@A)@B) -- merging would
+            # materialize weight-shaped cotangents in backward (~1 GB per
+            # MLP kernel stack at 7B; measured HBM OOM).
             self.ref_params = base_params
-            base_score = bundle_score_fn(bundle)
+            scale = tuning_cfg.lora_alpha / tuning_cfg.lora_rank
+            self._lora_mode = True
+            self.engine = RolloutEngine(
+                bundle, sampling,
+                max_len=cfg.max_prompt_length + cfg.max_completion_length,
+                lora_scale=scale,
+            )
 
             def score(lora_params, batch, base):
-                merged = merge_lora(base, lora_params, tuning_cfg)
-                return base_score(merged, batch)
+                return (
+                    bundle.hidden_fn(base, batch, lora=lora_params,
+                                     lora_scale=scale),
+                    bundle.head_kernel_fn(base),
+                )
 
-            ref_score = lambda base, batch, _aux: base_score(base, batch)
-            self._merge_for_rollout = jax.jit(
-                lambda base, lora: merge_lora(base, lora, tuning_cfg)
+            ref_score = lambda base, batch, _aux: bundle_score_fn(bundle)(
+                base, batch
             )
             self.update_step = make_grpo_update_step(
                 score, optimizer, cfg, schedule, ref_score_fn=ref_score
             )
         else:
             self.ref_params = ref_params
-            self._merge_for_rollout = None
+            self._lora_mode = False
             self.update_step = make_grpo_update_step(
                 bundle_score_fn(bundle), optimizer, cfg, schedule,
             )
@@ -325,11 +334,12 @@ class GRPOTrainer:
         else:
             batch = self._collate_prompts(examples)
         self._rng, sub = jax.random.split(self._rng)
-        rollout_params = (
-            self._merge_for_rollout(self.ref_params, self.state.params)
-            if self._merge_for_rollout is not None else self.state.params
-        )
-        rollout = self.engine.generate(rollout_params, batch, sub)
+        if self._lora_mode:
+            rollout = self.engine.generate(
+                self.ref_params, batch, sub, lora=self.state.params
+            )
+        else:
+            rollout = self.engine.generate(self.state.params, batch, sub)
 
         completion_ids = np.asarray(rollout["completion_ids"])
         completion_mask = np.asarray(rollout["completion_mask"])

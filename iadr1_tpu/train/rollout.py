@@ -66,7 +66,7 @@ class RolloutEngine:
     """
 
     def __init__(self, bundle, sampling: SamplingConfig, max_len: int,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, lora_scale: float = 1.0):
         self.bundle = bundle
         self.sampling = sampling
         self.max_len = max_len
@@ -74,22 +74,28 @@ class RolloutEngine:
         self._generate = jax.jit(
             functools.partial(_generate_impl, bundle=bundle,
                               sampling=sampling, max_len=max_len,
-                              cache_dtype=cache_dtype),
+                              cache_dtype=cache_dtype,
+                              lora_scale=lora_scale),
             static_argnames=(),
         )
 
-    def generate(self, params, batch, rng) -> dict:
+    def generate(self, params, batch, rng, lora=None) -> dict:
         """batch: left-padded prompt arrays (+ optional vision arrays).
 
-        Returns {"completion_ids": [B, max_new], "completion_mask": ...,
-        "sequences": [B, prompt+max_new]}.
+        ``lora``: optional factored-adapter pytree applied on top of
+        ``params`` (base + LoRA serving without materializing merged
+        weights).  Returns {"completion_ids": [B, max_new],
+        "completion_mask": ..., "prompt_ids": ..., "prompt_mask": ...}.
         """
-        return self._generate(params, batch, rng)
+        return self._generate(params, batch, rng, lora)
 
 
-def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
-                   max_len: int, cache_dtype):
+def _generate_impl(params, batch, rng, lora=None, *, bundle,
+                   sampling: SamplingConfig, max_len: int, cache_dtype,
+                   lora_scale: float = 1.0):
     from iadr1_tpu.models import qwen2
+
+    lora_kw = {"lora": lora, "lora_scale": lora_scale} if lora is not None else {}
 
     cfg = bundle.cfg
     tcfg = getattr(cfg, "text", cfg)
@@ -115,7 +121,7 @@ def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
     # writes K/V; decode steps use the ragged decode kernel (cost scales
     # with valid cache length) -- the vLLM-PagedAttention analogue
     hidden, cache = bundle.apply(
-        params, prefill_batch, cache=cache, cache_mode="prefill"
+        params, prefill_batch, cache=cache, cache_mode="prefill", **lora_kw
     )
     logits_fn = lambda h: bundle.logits_fn(params, h)
 
@@ -140,7 +146,7 @@ def _generate_impl(params, batch, rng, *, bundle, sampling: SamplingConfig,
             params,
             {"input_ids": token_in[:, None], "position_ids": pos,
              "segment_ids": seg},
-            cache=cache, cache_mode="decode",
+            cache=cache, cache_mode="decode", **lora_kw,
         )
         logits = logits_fn(hidden)[:, 0]
         next_token = sample_token(step_rng, logits, sampling)

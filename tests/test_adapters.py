@@ -124,3 +124,54 @@ def test_lora_training():
     # lora B factors moved away from zero
     b = np.asarray(state.params["layers"]["attn"]["q"]["kernel"]["b"])
     assert np.abs(b).max() > 0
+
+
+def test_factored_lora_matches_merged_forward():
+    """apply(..., lora=) (factored, activation-shaped cotangents) must equal
+    forward on merge_lora'd params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iadr1_tpu.models.registry import make_qwen2_bundle
+    from iadr1_tpu.train.adapters import (
+        TuningConfig, init_lora_params, merge_lora,
+    )
+
+    hf = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=2, rope_theta=1e4,
+              tie_word_embeddings=True, architectures=["Qwen2ForCausalLM"])
+    from iadr1_tpu.core.precision import FULL_PRECISION
+
+    # full precision so factored-vs-merged differences are math, not bf16
+    # rounding of the two different computation orders
+    bundle = make_qwen2_bundle(hf, attention="xla", precision=FULL_PRECISION)
+    base = bundle.init_params(jax.random.PRNGKey(0))
+    tcfg = TuningConfig(finetuning_type="lora", lora_rank=4, lora_alpha=8.0)
+    lora = init_lora_params(jax.random.PRNGKey(1), base, tcfg)
+    # make B nonzero so the delta actually matters
+    lora = jax.tree.map(lambda x: x + 0.03, lora)
+    scale = tcfg.lora_alpha / tcfg.lora_rank
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 250, (B, T)), jnp.int32),
+        "position_ids": jnp.broadcast_to(jnp.arange(T), (B, T)),
+        "segment_ids": jnp.ones((B, T), jnp.int32),
+    }
+    h_factored = jax.jit(
+        lambda p, l, b: bundle.hidden_fn(p, b, remat=False, lora=l,
+                                         lora_scale=scale)
+    )(base, lora, batch)
+    merged = merge_lora(base, lora, tcfg)
+    h_merged = jax.jit(
+        lambda p, b: bundle.hidden_fn(p, b, remat=False)
+    )(merged, batch)
+    np.testing.assert_allclose(
+        np.asarray(h_factored), np.asarray(h_merged), atol=2e-5
+    )
+    # deltas are real: differs from the base-only forward
+    h_base = jax.jit(lambda p, b: bundle.hidden_fn(p, b, remat=False))(base, batch)
+    assert not np.allclose(np.asarray(h_factored), np.asarray(h_base))

@@ -156,3 +156,51 @@ def test_align_sharegpt():
     # malformed: starts with assistant
     bad = {"messages": [{"role": "assistant", "content": "hi"}]}
     assert align_sharegpt(bad, attr) is None
+
+
+def test_vlm_batch_builder_llava_anyres_grids():
+    """VLMBatchBuilder must pass llava's 4-tuple anyres grids through to
+    vision_arrays untouched (the (t,h,w) reshape is M-RoPE-only)."""
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from iadr1_tpu.data.collator import VLMBatchBuilder
+    from iadr1_tpu.models.registry import make_llava_onevision_bundle
+
+    hf = dict(
+        architectures=["LlavaOnevisionForConditionalGeneration"],
+        text_config=dict(vocab_size=512, hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, rope_theta=1e4,
+                         tie_word_embeddings=True),
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=56, patch_size=14),
+        image_token_index=500,
+        image_grid_pinpoints=[[56, 56], [56, 112], [112, 56]],
+    )
+    bundle = make_llava_onevision_bundle(hf, attention="xla")
+    img = Image.new("RGB", (100, 52), (128, 40, 40))
+    patches, grid, seqlen = bundle.preprocess_image(img)
+    assert len(grid) == 4  # (n_h, n_w, orig_h, orig_w)
+
+    T = 64
+    ids = np.full(T, 3, np.int64)
+    ids[1 : 1 + seqlen] = hf["image_token_index"]
+    labels = ids.copy()
+    pos = np.arange(T)
+    rows = [{
+        "input_ids": ids, "labels": labels,
+        "segment_ids": np.ones(T, np.int64), "position_ids": pos,
+        "extras": [{"patches": [patches], "grid_thw": [grid]}],
+    }]
+    builder = VLMBatchBuilder(bundle=bundle, patch_budget=patches.shape[0] * 16)
+    batch = builder(rows)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    logits = jax.jit(lambda p, b: bundle.forward(p, b, remat=False))(
+        bundle.init_params(jax.random.PRNGKey(0)), batch
+    )
+    assert np.isfinite(np.asarray(logits)).all()

@@ -98,3 +98,40 @@ def test_cli_infer_end_to_end(checkpoint_dir, tmp_path):
         "--attention", "xla",
     ]) == 0
     assert len(json.load(open(answers_path))) == 8
+
+
+def test_cli_grpo_lora_ref_elision(checkpoint_dir, tmp_path):
+    """LoRA GRPO through the CLI: factored adapters over a frozen base,
+    reference model elided (one weight copy)."""
+    from iadr1_tpu.cli.train_grpo import main
+
+    data_path, img_dir = build_iad_rl_dataset(tmp_path)
+    out_dir = str(tmp_path / "grpo_lora_run")
+    cfg = {
+        "model": {"model_name_or_path": checkpoint_dir, "attention": "xla"},
+        "data": {
+            "dataset_name": data_path, "image_path": img_dir,
+            "template": "qwen2_vl", "patch_budget": 64,
+            "min_pixels": 56 * 56, "max_pixels": 56 * 56 * 4,
+        },
+        "grpo": {
+            "num_generations": 2, "max_prompt_length": 128,
+            "max_completion_length": 8, "beta": 0.04,
+        },
+        "finetuning": {"finetuning_type": "lora", "lora_rank": 4},
+        "mesh": {"dp": 1, "fsdp": 4, "tp": 2},
+        "optim": {"learning_rate": 1e-4, "warmup_ratio": 0.0},
+        "train": {"output_dir": out_dir, "max_steps": 2, "batch_size": 2,
+                  "logging_steps": 1, "save_steps": 0},
+    }
+    cfg_path = tmp_path / "grpo_lora.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["--config", str(cfg_path)]) == 0
+    records = [json.loads(l) for l in
+               open(os.path.join(out_dir, "trainer_log.jsonl"))]
+    assert len(records) == 2
+    for r in records:
+        assert np.isfinite(r["loss"]) and np.isfinite(r["kl"])
+    # LoRA starts with B=0: the policy equals the frozen base, so the KL
+    # to the elided reference must be exactly 0 at step 1
+    assert abs(records[0]["kl"]) < 1e-5
