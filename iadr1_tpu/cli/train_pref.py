@@ -1,0 +1,260 @@
+"""Preference-stage launcher: DPO (+ ORPO/SimPO/IPO/hinge), KTO, RM.
+
+The TPU counterpart of the reference's stage dispatch
+(llamafactory/train/tuner.py run_exp -> run_dpo / run_kto / run_rm) over
+ranking / feedback datasets:
+
+* dpo / rm rows: {"messages": [...prompt turns...],
+                  "chosen": "...", "rejected": "..."}
+  (llamafactory ranking sharegpt format; chosen/rejected may also be
+  {"role": ..., "content": ...} dicts)
+* kto rows: {"messages": [...full conversation...], "label": true|false}
+  (feedback format: kto_tag)
+
+Usage:
+    python -m iadr1_tpu.cli.train_pref --config configs/dpo.yaml \
+        stage=dpo pref.beta=0.1 train.max_steps=100
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PrefSection:
+    beta: float = 0.1                 # pref_beta
+    loss_type: str = "sigmoid"        # sigmoid|hinge|ipo|orpo|simpo (dpo)
+    label_smoothing: float = 0.0
+    simpo_gamma: float = 0.5
+    ftx: float = 0.0
+    desirable_weight: float = 1.0     # kto
+    undesirable_weight: float = 1.0   # kto
+    ref_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass
+class PrefDataSection:
+    dataset_name: str = ""
+    template: str = "qwen2_vl"
+    cutoff_len: int = 1024
+    max_samples: int | None = None
+
+
+@dataclasses.dataclass
+class PrefJobConfig:
+    stage: str = "dpo"                # dpo | kto | rm
+    model: dict = dataclasses.field(default_factory=dict)
+    data: PrefDataSection = dataclasses.field(default_factory=PrefDataSection)
+    pref: PrefSection = dataclasses.field(default_factory=PrefSection)
+    mesh: dict = dataclasses.field(default_factory=dict)
+    optim: dict = dataclasses.field(default_factory=dict)
+    train: dict = dataclasses.field(default_factory=dict)
+
+
+def _content(x) -> str:
+    return x["content"] if isinstance(x, dict) else str(x)
+
+
+def _pad_rows(rows, pad_id, length):
+    """Right-pad encoded (ids, labels) rows into [N, length] arrays."""
+    from iadr1_tpu.data.tokenize import IGNORE_INDEX
+
+    ids = np.full((len(rows), length), pad_id, np.int32)
+    labels = np.full((len(rows), length), IGNORE_INDEX, np.int32)
+    segs = np.zeros((len(rows), length), np.int32)
+    pos = np.zeros((len(rows), length), np.int32)
+    for i, (seq, lab) in enumerate(rows):
+        n = min(len(seq), length)
+        ids[i, :n] = seq[:n]
+        labels[i, :n] = lab[:n]
+        segs[i, :n] = 1
+        pos[i, :n] = np.arange(n)
+    return ids, labels, segs, pos
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", required=True)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from iadr1_tpu.core import MeshConfig, build_mesh
+    from iadr1_tpu.core.config import dataclass_from_dict, load_config
+    from iadr1_tpu.core.distributed import maybe_initialize_distributed
+    from iadr1_tpu.core.mesh import pytree_shardings
+    from iadr1_tpu.data.template import get_template
+    from iadr1_tpu.data.tokenize import (
+        encode_pairwise_example,
+        encode_supervised_example,
+    )
+    from iadr1_tpu.models.params_io import load_safetensors_path
+    from iadr1_tpu.models.registry import bundle_from_hf_config, bundle_from_pretrained
+    from iadr1_tpu.train import OptimizerConfig, make_optimizer
+    from iadr1_tpu.train.checkpoint import CheckpointManager
+    from iadr1_tpu.train.grpo import bundle_score_fn
+    from iadr1_tpu.train.loop import JsonlLogger, LoopConfig
+    from iadr1_tpu.train.preference import (
+        DPOConfig,
+        KTOConfig,
+        init_value_head,
+        make_dpo_step,
+        make_kto_step,
+        make_rm_step,
+    )
+    from iadr1_tpu.train.state import create_sharded_state
+
+    maybe_initialize_distributed()
+    cfg = load_config(PrefJobConfig, args.config, args.overrides)
+    loop_cfg = dataclass_from_dict(LoopConfig, cfg.train)
+    opt_cfg = dataclass_from_dict(OptimizerConfig, cfg.optim)
+    if not opt_cfg.total_steps:
+        opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
+    if cfg.stage not in ("dpo", "kto", "rm"):
+        raise ValueError(f"unknown stage {cfg.stage!r}")
+
+    model_cfg = cfg.model
+    dtype = getattr(jnp, model_cfg.get("dtype", "float32"))
+    attention = model_cfg.get("attention", "auto")
+    if model_cfg.get("hf_config"):
+        bundle = bundle_from_hf_config(model_cfg["hf_config"],
+                                       attention=attention)
+        params = bundle.init_params(
+            jax.random.PRNGKey(model_cfg.get("seed", 0)), dtype=dtype)
+    else:
+        bundle = bundle_from_pretrained(model_cfg["model_name_or_path"],
+                                        attention=attention)
+        params = bundle.convert_hf(
+            load_safetensors_path(model_cfg["model_name_or_path"]),
+            dtype=dtype)
+    tokenizer = AutoTokenizer.from_pretrained(model_cfg["model_name_or_path"])
+    template = get_template(cfg.data.template)
+    pad_id = tokenizer.pad_token_id or tokenizer.eos_token_id
+
+    with open(cfg.data.dataset_name) as f:
+        raw = json.load(f)
+    if cfg.data.max_samples:
+        raw = raw[: cfg.data.max_samples]
+
+    T = cfg.data.cutoff_len
+    if cfg.stage in ("dpo", "rm"):
+        pairs = []
+        for row in raw:
+            messages = row.get("messages", row.get("conversations"))
+            pairs.append(encode_pairwise_example(
+                messages, _content(row["chosen"]), _content(row["rejected"]),
+                template, tokenizer, system=row.get("system"), cutoff_len=T,
+            ))
+        chosen = [p[0] for p in pairs]
+        rejected = [p[1] for p in pairs]
+
+        def collate(idx):
+            rows = [chosen[i] for i in idx] + [rejected[i] for i in idx]
+            ids, labels, segs, pos = _pad_rows(rows, pad_id, T)
+            return {"input_ids": jnp.asarray(ids),
+                    "labels": jnp.asarray(labels),
+                    "segment_ids": jnp.asarray(segs),
+                    "position_ids": jnp.asarray(pos)}
+    else:  # kto
+        encoded, tags = [], []
+        for row in raw:
+            messages = row.get("messages", row.get("conversations"))
+            encoded.append(encode_supervised_example(
+                messages, template, tokenizer, system=row.get("system"),
+                cutoff_len=T))
+            tags.append(bool(row.get("label", row.get("kto_tag", True))))
+        tags = np.asarray(tags)
+
+        def collate(idx):
+            rows = [encoded[i] for i in idx]
+            ids, labels, segs, pos = _pad_rows(rows, pad_id, T)
+            # mismatched completions for the KL baseline: shift by one
+            roll = np.roll(idx, 1)
+            kl_rows = [encoded[i] for i in roll]
+            kids, klabels, ksegs, kpos = _pad_rows(kl_rows, pad_id, T)
+            return {"input_ids": jnp.asarray(ids),
+                    "labels": jnp.asarray(labels),
+                    "segment_ids": jnp.asarray(segs),
+                    "position_ids": jnp.asarray(pos),
+                    "kl_input_ids": jnp.asarray(kids),
+                    "kl_labels": jnp.asarray(klabels),
+                    "kl_segment_ids": jnp.asarray(ksegs),
+                    "kl_position_ids": jnp.asarray(kpos),
+                    "tags": jnp.asarray(tags[idx].astype(np.int32))}
+
+    mesh = build_mesh(dataclass_from_dict(MeshConfig, cfg.mesh))
+    params = jax.device_put(params, pytree_shardings(bundle.logical_axes(), mesh))
+    optimizer, schedule = make_optimizer(opt_cfg)
+
+    if cfg.stage == "rm":
+        tcfg = getattr(bundle.cfg, "text", bundle.cfg)
+        full_params = {
+            "model": params,
+            "value_head": init_value_head(
+                jax.random.PRNGKey(1), tcfg.hidden_size, dtype),
+        }
+        state = create_sharded_state(full_params, optimizer)
+        step = make_rm_step(
+            lambda p, b: bundle.hidden_fn(p, b), optimizer, schedule)
+        ref_params = None
+    else:
+        state = create_sharded_state(params, optimizer)
+        ref_dtype = getattr(jnp, cfg.pref.ref_dtype)
+        if cfg.stage == "dpo":
+            dcfg = DPOConfig(
+                beta=cfg.pref.beta, loss_type=cfg.pref.loss_type,
+                label_smoothing=cfg.pref.label_smoothing,
+                simpo_gamma=cfg.pref.simpo_gamma, ftx=cfg.pref.ftx,
+            )
+            step = make_dpo_step(bundle_score_fn(bundle), optimizer, dcfg,
+                                 schedule)
+            ref_params = (
+                jax.tree.map(lambda x: x.astype(ref_dtype), params)
+                if dcfg.use_ref_model else {}
+            )
+        else:
+            kcfg = KTOConfig(
+                beta=cfg.pref.beta,
+                desirable_weight=cfg.pref.desirable_weight,
+                undesirable_weight=cfg.pref.undesirable_weight,
+            )
+            step = make_kto_step(bundle_score_fn(bundle), optimizer, kcfg,
+                                 schedule)
+            ref_params = jax.tree.map(lambda x: x.astype(ref_dtype), params)
+
+    logger = JsonlLogger(loop_cfg.output_dir, loop_cfg.max_steps)
+    ckpt = CheckpointManager(
+        os.path.join(loop_cfg.output_dir, "checkpoints"),
+        max_to_keep=loop_cfg.keep_checkpoints,
+    )
+    rng = np.random.default_rng(loop_cfg.seed)
+    n = len(raw)
+    bs = max(loop_cfg.batch_size, 1)
+    for step_idx in range(1, loop_cfg.max_steps + 1):
+        idx = rng.choice(n, size=min(bs, n), replace=False)
+        batch = collate(idx)
+        if cfg.stage == "rm":
+            state, metrics = step(state, batch)
+        else:
+            state, metrics = step(state, ref_params, batch)
+        if step_idx % max(loop_cfg.logging_steps, 1) == 0:
+            logger.log(step_idx, {k: float(v) for k, v in metrics.items()})
+        if loop_cfg.save_steps and step_idx % loop_cfg.save_steps == 0:
+            ckpt.save(step_idx, state)
+    ckpt.save(loop_cfg.max_steps, state)
+    ckpt.wait()
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,6 +41,10 @@ class DataSection:
     template: str = "qwen2_vl"
     cutoff_len: int = 2048
     packing: bool = True
+    # save/load the packed-and-tokenized rows (reference tokenized_path,
+    # data/loader.py:237-300); text fields only -- multimodal extras are
+    # re-derived from images and skip the cache
+    tokenized_path: str | None = None
     max_samples: int | None = None
     patch_budget: int = 4096
     min_pixels: int = 56 * 56
@@ -56,6 +60,9 @@ class MeshSection:
 
 @dataclasses.dataclass
 class SFTJobConfig:
+    # "pt" = continued pretraining: raw text, every token labeled, packed
+    # (reference stage dispatch tuner.py run_pt -> pretrain processor)
+    stage: str = "sft"                 # sft | pt
     model: ModelSection = dataclasses.field(default_factory=ModelSection)
     data: DataSection = dataclasses.field(default_factory=DataSection)
     mesh: MeshSection = dataclasses.field(default_factory=MeshSection)
@@ -69,8 +76,13 @@ def load_tokenizer(path: str):
     return AutoTokenizer.from_pretrained(path)
 
 
-def prepare_rows(cfg: DataSection, tokenizer, template, bundle):
-    """registry/json -> aligned -> (mm expand) -> encoded -> packed rows."""
+def prepare_rows(cfg: DataSection, tokenizer, template, bundle,
+                 stage: str = "sft"):
+    """registry/json -> aligned -> (mm expand) -> encoded -> packed rows.
+
+    stage "pt": raw-text language modeling -- message contents are
+    concatenated, every token (plus EOS) is labeled, no template/masking
+    (reference data/processors/pretrain.py)."""
     from iadr1_tpu.data.aligner import align_rows
     from iadr1_tpu.data.mm import expand_image_tokens
     from iadr1_tpu.data.packing import pack_examples
@@ -94,6 +106,31 @@ def prepare_rows(cfg: DataSection, tokenizer, template, bundle):
     rows = load_json_dataset(attr)
     if cfg.max_samples:
         rows = rows[: cfg.max_samples]
+
+    pad_id = tokenizer.pad_token_id
+    if pad_id is None:
+        pad_id = tokenizer.eos_token_id
+
+    if stage == "pt":
+        # raw-text LM: read text straight off the rows (a "text" column or
+        # concatenated message contents) -- the conversation aligner would
+        # drop response-less rows
+        encoded = []
+        for row in rows:
+            if "text" in row:
+                text = row["text"]
+            else:
+                msgs = row.get(attr.messages or "messages",
+                               row.get("messages", []))
+                text = "\n".join(
+                    m.get(attr.content_tag or "content", m.get("content", ""))
+                    for m in msgs
+                )
+            ids = tokenizer.encode(text, add_special_tokens=False)
+            ids = ids[: cfg.cutoff_len - 2] + [tokenizer.eos_token_id]
+            encoded.append({"input_ids": ids, "labels": list(ids)})
+        return pack_examples(encoded, cfg.cutoff_len, pad_id)
+
     records = align_rows(rows, attr, cfg.image_dir)
 
     encoded = []
@@ -131,9 +168,6 @@ def prepare_rows(cfg: DataSection, tokenizer, template, bundle):
             ex["extras"] = extras
         encoded.append(ex)
 
-    pad_id = tokenizer.pad_token_id
-    if pad_id is None:
-        pad_id = tokenizer.eos_token_id
     return pack_examples(encoded, cfg.cutoff_len, pad_id)
 
 
@@ -192,7 +226,20 @@ def main(argv=None):
     tokenizer = load_tokenizer(cfg.model.model_name_or_path)
     template = get_template(cfg.data.template)
 
-    rows = prepare_rows(cfg.data, tokenizer, template, bundle)
+    from iadr1_tpu.data.cache import load_tokenized, save_tokenized
+
+    rows = None
+    if cfg.data.tokenized_path:
+        rows = load_tokenized(cfg.data.tokenized_path)
+        if rows is not None:
+            print(f"loaded {len(rows)} tokenized rows from "
+                  f"{cfg.data.tokenized_path}")
+    if rows is None:
+        rows = prepare_rows(cfg.data, tokenizer, template, bundle,
+                            stage=cfg.stage)
+        if cfg.data.tokenized_path:
+            if save_tokenized(cfg.data.tokenized_path, rows):
+                print(f"tokenized dataset saved to {cfg.data.tokenized_path}")
     print(f"packed {len(rows)} rows of length {cfg.data.cutoff_len}")
 
     mesh = build_mesh(MeshConfig(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp))
@@ -215,7 +262,8 @@ def main(argv=None):
             start_step = latest
             print(f"resumed from checkpoint step {latest}")
 
-    if bundle.multimodal:
+    has_vision = any(r.get("extras") for r in rows)
+    if bundle.multimodal and has_vision:
         collate = VLMBatchBuilder(
             bundle=bundle,
             patch_budget=cfg.data.patch_budget,
@@ -223,6 +271,9 @@ def main(argv=None):
             max_pixels=cfg.data.max_pixels,
         )
     else:
+        # text-only data through a VLM checkpoint (e.g. the pt stage):
+        # skip the vision tower entirely -- M-RoPE broadcasts the 1-D
+        # positions, and apply() skips the tower when patches are absent
         collate = text_batch
     batches = batch_iterator(rows, loop_cfg.batch_size, loop_cfg.seed, collate,
                              skip=start_step)

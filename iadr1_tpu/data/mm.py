@@ -12,6 +12,38 @@ from __future__ import annotations
 from typing import Sequence
 
 IMAGE_PLACEHOLDER = "<image>"
+VIDEO_PLACEHOLDER = "<video>"
+
+
+def expand_video_tokens(
+    messages: Sequence[dict],
+    video_seqlens: Sequence[int],
+    mm_style: str,
+    video_token: str = "<|video_pad|>",
+) -> list[dict]:
+    """Replace each VIDEO_PLACEHOLDER with the family's expanded token run
+    (qwen2-vl: <|vision_start|> + video_token x N + <|vision_end|>,
+    mm_plugin.py Qwen2vlPlugin.process_messages video branch)."""
+    out = []
+    idx = 0
+    for message in messages:
+        content = message["content"]
+        while VIDEO_PLACEHOLDER in content:
+            if idx >= len(video_seqlens):
+                raise ValueError("more video placeholders than videos")
+            n = video_seqlens[idx]
+            if mm_style == "qwen2_vl":
+                repl = f"<|vision_start|>{video_token * n}<|vision_end|>"
+            else:
+                repl = video_token * n
+            content = content.replace(VIDEO_PLACEHOLDER, repl, 1)
+            idx += 1
+        out.append({**message, "content": content})
+    if idx != len(video_seqlens):
+        raise ValueError(
+            f"{len(video_seqlens)} videos provided but {idx} placeholders found"
+        )
+    return out
 
 
 def qwen2vl_image_seqlen(grid_thw, merge_size: int = 2) -> int:

@@ -80,3 +80,30 @@ def encode_supervised_example(
             labels += source_label + target_label
 
     return input_ids, labels
+
+
+def encode_pairwise_example(
+    prompt_messages: Sequence[dict],
+    chosen: str,
+    rejected: str,
+    template,
+    tokenizer,
+    system: str | None = None,
+    cutoff_len: int = 4096,
+) -> tuple[tuple[list[int], list[int]], tuple[list[int], list[int]]]:
+    """((chosen_ids, chosen_labels), (rejected_ids, rejected_labels)) for a
+    ranking example (reference data/processors/pairwise.py: the shared
+    prompt is encoded once, each response consumes the remaining budget;
+    only response tokens are labeled)."""
+    out = []
+    for response in (chosen, rejected):
+        messages = list(prompt_messages) + [
+            {"role": "assistant", "content": response}
+        ]
+        out.append(
+            encode_supervised_example(
+                messages, template, tokenizer, system=system,
+                cutoff_len=cutoff_len,
+            )
+        )
+    return tuple(out)

@@ -385,19 +385,27 @@ def apply(
         ys = {"k": new_kv[0], "v": new_kv[1]} if new_kv is not None else None
         return h, ys
 
-    # Remat policy: (out, lse) are checkpoint_named inside the flash VJP's
-    # fwd rule, so save_only_these_names stores exactly the backward
-    # residuals and the forward kernel is DCE'd from the rematerialized
-    # backward (+~73 MB/layer at [8,14,4096,64]; naming *outside* the
-    # custom_vjp cannot do this -- the fwd rule re-runs to rebuild the
-    # pre-name residuals, measured in round 1 as a no-op).  Under the XLA
-    # attention path nothing is named and this reduces to plain remat.
-    from iadr1_tpu.models.attention import FLASH_REMAT_POLICY
+    # Remat modes:
+    # * True / "save_flash": (out, lse) are checkpoint_named inside the
+    #   flash VJP's fwd rule, so save_only_these_names stores exactly the
+    #   backward residuals and the forward kernel is DCE'd from the
+    #   rematerialized backward (+~73 MB/layer at [8,14,4096,64]; naming
+    #   *outside* the custom_vjp cannot do this -- the fwd rule re-runs to
+    #   rebuild the pre-name residuals, measured in round 1 as a no-op).
+    #   Under the XLA attention path nothing is named -> plain remat.
+    # * "full": plain remat, recompute the flash forward too -- the
+    #   memory-tight mode (the saved out residual is [L,B,H,T,D] bf16,
+    #   5.9 GB at 2B/B=16/T=4608: bigger than the base weights).
+    # * False: no remat (inference / small models).
+    if remat:
+        if remat == "full":
+            body = jax.checkpoint(scan_body)
+        else:
+            from iadr1_tpu.models.attention import FLASH_REMAT_POLICY
 
-    body = (
-        jax.checkpoint(scan_body, policy=FLASH_REMAT_POLICY)
-        if remat else scan_body
-    )
+            body = jax.checkpoint(scan_body, policy=FLASH_REMAT_POLICY)
+    else:
+        body = scan_body
     layer_cache = (
         {"k": cache["k"], "v": cache["v"]} if cache is not None else None
     )

@@ -154,11 +154,22 @@ def _qwen_preprocess_image(vcfg):
 
 
 def _scatter_indices(input_ids: np.ndarray, image_token_id: int,
-                     n_feat_budget: int, feature_order=None):
+                     n_feat_budget: int, feature_order=None,
+                     video_token_id: int | None = None,
+                     n_expected: int | None = None):
     """Feature -> (row, col) scatter indices; padded features target the
-    sentinel row B (dropped by merge_image_features)."""
+    sentinel row B (dropped by merge_image_features).  Video tokens scatter
+    through the same path (features must be supplied in placeholder
+    reading order); they are only matched when image tokens alone don't
+    account for ``n_expected`` features -- some checkpoints reuse ordinary
+    token ids as video_token_id and matching unconditionally would
+    misscatter."""
     B = input_ids.shape[0]
-    rows_idx, cols_idx = np.nonzero(input_ids == image_token_id)
+    match = input_ids == image_token_id
+    if (video_token_id is not None and video_token_id != image_token_id
+            and n_expected is not None and int(match.sum()) < n_expected):
+        match = match | (input_ids == video_token_id)
+    rows_idx, cols_idx = np.nonzero(match)
     if feature_order is not None:
         rows_idx = rows_idx[feature_order]
         cols_idx = cols_idx[feature_order]
@@ -285,7 +296,9 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
         vsegs = vp.vision_segment_ids(grid_thw, pad_to=patch_budget)
         merge_unit = vcfg.spatial_merge_size ** 2
         srows, scols = _scatter_indices(
-            input_ids, cfg.image_token_id, patch_budget // merge_unit
+            input_ids, cfg.image_token_id, patch_budget // merge_unit,
+            video_token_id=cfg.video_token_id,
+            n_expected=n // merge_unit,
         )
         return {
             "patches": flat, "rot_cos": cos, "rot_sin": sin,
@@ -385,6 +398,8 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
             srows, scols = _scatter_indices(
                 input_ids, cfg.image_token_id, patch_budget // merge_unit,
                 feature_order=arrs["feature_order"],
+                video_token_id=cfg.video_token_id,
+                n_expected=n // merge_unit,
             )
             return {
                 "patches": flat,

@@ -52,3 +52,35 @@ def description_score(predicted: str, actual: str) -> float:
     else:
         sim = _bow_cosine(predicted, actual)
     return max(0.0, min(1.0, sim))
+
+
+def make_transformer_embedding_backend(model_name_or_path: str):
+    """Mean-pooled HF AutoModel embedding backend -- the reference's
+    all-MiniLM-L6-v2 sentence-transformers recipe
+    (reward_process/description_reward.py:7-52) without the
+    sentence-transformers dependency: MiniLM's ST head is exactly
+    mean-pooling + L2 normalization over the last hidden state.
+
+    Pass a *local* checkpoint directory (this environment has no network
+    egress).  Install with:
+
+        register_embedding_backend(
+            make_transformer_embedding_backend("/ckpts/all-MiniLM-L6-v2"))
+    """
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_name_or_path)
+    model = AutoModel.from_pretrained(model_name_or_path).eval()
+
+    def embed(texts: Sequence[str]) -> list[list[float]]:
+        enc = tok(list(texts), padding=True, truncation=True,
+                  max_length=256, return_tensors="pt")
+        with torch.no_grad():
+            hidden = model(**enc).last_hidden_state
+        mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+        pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1e-9)
+        pooled = torch.nn.functional.normalize(pooled, dim=-1)
+        return pooled.tolist()
+
+    return embed

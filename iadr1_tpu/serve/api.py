@@ -60,11 +60,17 @@ class ChatServer:
     """Threaded HTTP server wrapping a VLMGenerator."""
 
     def __init__(self, generator, model_name: str = "iadr1-tpu",
-                 host: str = "127.0.0.1", port: int = 8000):
+                 host: str = "127.0.0.1", port: int = 8000,
+                 score_fn=None):
+        """``score_fn(texts, max_length) -> list[float]``: reward-model
+        scoring backing /v1/score/evaluation (reference api/app.py:113-123;
+        the endpoint 405s when only a generative model is loaded, matching
+        the reference's can_generate guard)."""
         self.generator = generator
         self.model_name = model_name
         self.host = host
         self.port = port
+        self.score_fn = score_fn
         self._lock = threading.Lock()  # generator is single-program
         self._httpd: ThreadingHTTPServer | None = None
 
@@ -92,6 +98,17 @@ class ChatServer:
             "usage": {
                 "prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0,
             },
+        }
+
+    def handle_score(self, body: dict) -> dict:
+        texts = body["messages"]
+        with self._lock:
+            scores = self.score_fn(texts, body.get("max_length"))
+        return {
+            "id": f"scoreval-{uuid.uuid4().hex[:12]}",
+            "object": "score.evaluation",
+            "model": body.get("model", self.model_name),
+            "scores": [float(s) for s in scores],
         }
 
     def handle_models(self) -> dict:
@@ -127,7 +144,8 @@ class ChatServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/v1/chat/completions":
+                if self.path not in ("/v1/chat/completions",
+                                     "/v1/score/evaluation"):
                     self._send(404, {"error": "not found"})
                     return
                 length = int(self.headers.get("Content-Length", 0))
@@ -136,8 +154,18 @@ class ChatServer:
                 except json.JSONDecodeError:
                     self._send(400, {"error": "invalid JSON"})
                     return
-                if "messages" not in body:
+                if not body.get("messages"):
                     self._send(400, {"error": "missing 'messages'"})
+                    return
+                if self.path == "/v1/score/evaluation":
+                    if server.score_fn is None:
+                        # generative-only deployment (reference app.py:120-121)
+                        self._send(405, {"error": "Not allowed"})
+                        return
+                    try:
+                        self._send(200, server.handle_score(body))
+                    except Exception as e:
+                        self._send(500, {"error": str(e)})
                     return
                 try:
                     result = server.handle_chat(body)

@@ -47,6 +47,9 @@ class GRPOConfig:
     max_completion_length: int = 512
     scale_rewards: bool = True        # divide by group std
     logp_chunk_size: int = 1024       # LM-head chunking for logp scoring
+    # "save_flash" keeps flash (out,lse) as remat residuals (faster);
+    # "full" recomputes them in backward (memory-tight large-model mode)
+    remat: str = "save_flash"
 
 
 # ---------------------------------------------------------------------------
@@ -262,25 +265,28 @@ class GRPOTrainer:
                 max_len=cfg.max_prompt_length + cfg.max_completion_length,
                 lora_scale=scale,
             )
+            remat = True if cfg.remat == "save_flash" else cfg.remat
 
             def score(lora_params, batch, base):
                 return (
                     bundle.hidden_fn(base, batch, lora=lora_params,
-                                     lora_scale=scale),
+                                     lora_scale=scale, remat=remat),
                     bundle.head_kernel_fn(base),
                 )
 
-            ref_score = lambda base, batch, _aux: bundle_score_fn(bundle)(
-                base, batch
-            )
+            ref_score = lambda base, batch, _aux: bundle_score_fn(
+                bundle, remat=remat
+            )(base, batch)
             self.update_step = make_grpo_update_step(
                 score, optimizer, cfg, schedule, ref_score_fn=ref_score
             )
         else:
             self.ref_params = ref_params
             self._lora_mode = False
+            remat = True if cfg.remat == "save_flash" else cfg.remat
             self.update_step = make_grpo_update_step(
-                bundle_score_fn(bundle), optimizer, cfg, schedule,
+                bundle_score_fn(bundle, remat=remat), optimizer, cfg,
+                schedule,
             )
         self._rng = jax.random.PRNGKey(0)
         self.metrics_history: list[dict] = []

@@ -29,6 +29,8 @@ class LoopConfig:
     resume: bool = False              # auto-resume from the latest checkpoint
     # (reference: trainer.train(resume_from_checkpoint=...),
     # train/sft/workflow.py:101)
+    plot_loss: bool = False           # render training_loss.png at the end
+    report_to: list = dataclasses.field(default_factory=list)  # e.g. ["wandb"]
 
 
 class JsonlLogger:
@@ -71,6 +73,11 @@ def batch_iterator(rows: Sequence[dict], batch_size: int, seed: int,
     batches without collating them -- the data-cursor restore for resumed
     runs (batch k after skip=N equals batch N+k of a fresh iterator).
     """
+    if len(rows) < batch_size:
+        raise ValueError(
+            f"{len(rows)} packed rows < batch_size {batch_size}; an empty "
+            "iterator would spin forever"
+        )
     rng = np.random.default_rng(seed)
     order = np.arange(len(rows))
     skipped = 0
@@ -99,6 +106,9 @@ def run_sft_loop(
     skip=start_step) and restoring ``state`` from the checkpoint.
     """
     logger = JsonlLogger(cfg.output_dir, cfg.max_steps)
+    from iadr1_tpu.train.reporters import make_reporters
+
+    reporter = make_reporters(cfg.report_to)
     history = []
     it = iter(batches)
     t_last = time.perf_counter()
@@ -119,6 +129,7 @@ def run_sft_loop(
                 out["tokens_per_sec_per_chip"] = meter.tokens_per_sec_per_chip
                 out["mfu"] = meter.mfu
             logger.log(step, out)
+            reporter.log(step, out)
             history.append(out)
         if checkpoint_manager is not None and cfg.save_steps and step % cfg.save_steps == 0:
             checkpoint_manager.save(step, state)
@@ -126,4 +137,9 @@ def run_sft_loop(
         checkpoint_manager.save(cfg.max_steps, state)
         checkpoint_manager.wait()
     logger.close()
+    reporter.finish()
+    if cfg.plot_loss:
+        from iadr1_tpu.train.reporters import plot_loss
+
+        plot_loss(cfg.output_dir)
     return state, history

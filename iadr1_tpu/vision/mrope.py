@@ -23,6 +23,7 @@ def get_mrope_positions(
     vision_start_token_id: int,
     attention_mask: np.ndarray | None = None,
     spatial_merge_size: int = 2,
+    video_token_id: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(position_ids [3, B, T], deltas [B]) for image+text sequences.
 
@@ -47,10 +48,20 @@ def get_mrope_positions(
         n_vision = int(np.sum(ids == vision_start_token_id)) if grid_thw is not None else 0
 
         for _ in range(n_vision):
-            try:
-                ed = tokens.index(image_token_id, st)
-            except ValueError:
+            # a vision span starts at the first image OR video pad token
+            # (videos share the image scatter/position machinery; HF
+            # get_rope_index uses the same (t,h,w) grid walk for both)
+            cands = []
+            for tid in (image_token_id, video_token_id):
+                if tid is None:
+                    continue
+                try:
+                    cands.append(tokens.index(tid, st))
+                except ValueError:
+                    pass
+            if not cands:
                 break
+            ed = min(cands)
             t, h, w = grid_thw[grid_idx]
             grid_idx += 1
             gt, gh, gw = int(t), int(h) // spatial_merge_size, int(w) // spatial_merge_size

@@ -177,3 +177,68 @@ def vision_segment_ids(grid_thw, pad_to: int | None = None) -> np.ndarray:
     if pad_to is not None and len(out) < pad_to:
         out = np.concatenate([out, np.zeros(pad_to - len(out), np.int32)])
     return out
+
+
+def sample_frame_indices(total_frames: int, duration_sec: float,
+                         video_fps: float = 2.0,
+                         video_maxlen: int = 64) -> np.ndarray:
+    """Frame indices for video sampling (reference Qwen2vlPlugin
+    _get_video_sample_frames + _regularize_videos, mm_plugin.py:127-185):
+    floor(duration * fps) frames, capped by total and video_maxlen, spread
+    with linspace.  The Qwen2vl plugin additionally rounds the count to a
+    multiple of 2 (temporal patching); callers get an even count here."""
+    import math
+
+    n = min(total_frames, video_maxlen, duration_sec * video_fps)
+    n = max(2, math.floor(n))
+    n -= n % 2  # temporal_patch_size alignment (mm_plugin.py:846-848)
+    return np.linspace(0, total_frames - 1, n).astype(np.int32)
+
+
+def qwen2vl_preprocess_video(
+    frames,
+    patch_size: int = 14,
+    merge_size: int = 2,
+    temporal_patch_size: int = 2,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 14 * 14 * 4 * 1280,
+) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """Sampled PIL frames -> (flatten_patches, grid_thw) with grid_t =
+    n_frames / temporal_patch_size.
+
+    Every frame is resized to the first frame's smart-resized geometry so
+    the temporal stack is rectangular; an odd trailing frame is duplicated
+    (HF Qwen2VLImageProcessor behavior for videos)."""
+    from PIL import Image
+
+    frames = list(frames)
+    if len(frames) % temporal_patch_size:
+        frames = frames + [frames[-1]]
+
+    first = qwen_clamp_image(area_cap_resize(frames[0], max_pixels))
+    h, w = smart_resize(
+        first.height, first.width, patch_size * merge_size,
+        min_pixels, max_pixels,
+    )
+    arrs = []
+    for frame in frames:
+        frame = frame.resize((w, h), resample=Image.Resampling.BICUBIC)
+        arr = np.asarray(frame.convert("RGB"), np.float32) / 255.0
+        arr = (arr - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+        arrs.append(arr.transpose(2, 0, 1))
+    stack = np.stack(arrs)                                    # [T, 3, h, w]
+
+    channel = stack.shape[1]
+    grid_t = stack.shape[0] // temporal_patch_size
+    grid_h, grid_w = h // patch_size, w // patch_size
+    patches = stack.reshape(
+        grid_t, temporal_patch_size, channel,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    )
+    patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    flat = patches.reshape(
+        grid_t * grid_h * grid_w,
+        channel * temporal_patch_size * patch_size * patch_size,
+    )
+    return flat, (grid_t, grid_h, grid_w)

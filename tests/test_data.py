@@ -204,3 +204,141 @@ def test_vlm_batch_builder_llava_anyres_grids():
         bundle.init_params(jax.random.PRNGKey(0)), batch
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_tokenized_cache_roundtrip(tmp_path):
+    import numpy as np
+
+    from iadr1_tpu.data.cache import load_tokenized, save_tokenized
+
+    rows = [{
+        "input_ids": np.arange(8) + i, "labels": np.arange(8),
+        "segment_ids": np.ones(8, np.int64), "position_ids": np.arange(8),
+    } for i in range(3)]
+    path = str(tmp_path / "cache.npz")
+    assert save_tokenized(path, rows)
+    back = load_tokenized(path)
+    assert len(back) == 3
+    for a, b in zip(rows, back):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    # multimodal rows refuse the cache
+    rows[0]["extras"] = [{"patches": [np.zeros((2, 4))]}]
+    assert not save_tokenized(str(tmp_path / "c2.npz"), rows)
+    assert load_tokenized(str(tmp_path / "missing.npz")) is None
+
+
+def test_description_transformer_backend(tmp_path):
+    """The HF mean-pooled backend: identical texts -> 1.0, plugged through
+    description_score."""
+    pytest.importorskip("torch")
+    import torch
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    from iadr1_tpu.rewards import description as D
+
+    # tiny local BERT-shaped encoder + a minimal WordPiece vocab
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "small", "crack",
+             "scratch", "on", "the", "surface"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(vocab_file))
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=32,
+                     num_hidden_layers=2, num_attention_heads=2,
+                     intermediate_size=64, max_position_embeddings=64)
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    model.save_pretrained(tmp_path / "enc")
+    tok.save_pretrained(tmp_path / "enc")
+
+    backend = D.make_transformer_embedding_backend(str(tmp_path / "enc"))
+    try:
+        D.register_embedding_backend(backend)
+        same = D.description_score("a small crack", "a small crack")
+        diff = D.description_score("a small crack", "scratch on the surface")
+        assert same == pytest.approx(1.0, abs=1e-5)
+        assert 0.0 <= diff < same
+    finally:
+        D.register_embedding_backend(None)
+
+
+def test_video_preprocess_and_expansion():
+    """Video front-end: frame sampling, temporal patchify, token expansion,
+    M-RoPE temporal positions, scatter through the video token."""
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from iadr1_tpu.data.mm import expand_video_tokens
+    from iadr1_tpu.models.registry import make_qwen2_vl_bundle
+    from iadr1_tpu.vision.mrope import get_mrope_positions
+    from iadr1_tpu.vision.preprocess import (
+        qwen2vl_preprocess_video,
+        sample_frame_indices,
+    )
+
+    # sampling rule: floor(duration*fps) capped, even count
+    idx = sample_frame_indices(total_frames=100, duration_sec=5.0,
+                               video_fps=2.0, video_maxlen=64)
+    assert len(idx) == 10 and idx[0] == 0 and idx[-1] == 99
+    assert len(sample_frame_indices(7, 100.0, 2.0, 64)) == 6  # capped+even
+
+    rng = np.random.default_rng(0)
+    frames = [Image.fromarray((rng.random((56, 84, 3)) * 255).astype(np.uint8))
+              for _ in range(4)]
+    flat, grid = qwen2vl_preprocess_video(
+        frames, min_pixels=28 * 28, max_pixels=56 * 84)
+    t, h, w = grid
+    assert t == 2  # 4 frames / temporal_patch_size
+    assert flat.shape == (t * h * w, 3 * 2 * 14 * 14)
+    seqlen = t * h * w // 4
+
+    # full forward with the video scattered through vision arrays
+    hf = dict(
+        architectures=["Qwen2VLForConditionalGeneration"],
+        text_config=dict(vocab_size=512, hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, rope_theta=1e4,
+                         tie_word_embeddings=True,
+                         rope_scaling={"type": "mrope",
+                                       "mrope_section": [4, 2, 2]}),
+        vision_config=dict(depth=2, embed_dim=32, hidden_size=64, num_heads=4,
+                           patch_size=14, spatial_merge_size=2,
+                           temporal_patch_size=2),
+        image_token_id=500, video_token_id=501,
+        vision_start_token_id=502, vision_end_token_id=503,
+    )
+    bundle = make_qwen2_vl_bundle(hf, attention="xla")
+
+    msgs = expand_video_tokens(
+        [{"role": "user", "content": "<video> any motion defects?"}],
+        [seqlen], "qwen2_vl", video_token="V")
+    assert msgs[0]["content"].count("V") == seqlen
+    assert msgs[0]["content"].startswith("<|vision_start|>")
+
+    T = seqlen + 8
+    ids = np.full((1, T), 7, np.int64)
+    ids[0, 0] = hf["vision_start_token_id"]
+    ids[0, 1 : 1 + seqlen] = hf["video_token_id"]
+    ids[0, 1 + seqlen] = hf["vision_end_token_id"]
+    pos, deltas = get_mrope_positions(
+        ids, np.asarray([grid]), hf["image_token_id"],
+        hf["vision_start_token_id"], video_token_id=hf["video_token_id"])
+    # temporal axis advances across the two frame groups
+    tpos = pos[0, 0, 1 : 1 + seqlen]
+    assert tpos.min() + 1 == tpos.max()  # grid_t == 2 -> two temporal values
+
+    arrays = bundle.vision_arrays(ids, [flat], [grid], flat.shape[0])
+    # every video token has a feature scattered onto it (row 0, not sentinel)
+    assert (arrays["scatter_rows"][:seqlen] == 0).all()
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "position_ids": jnp.asarray(pos, jnp.int32),
+        "segment_ids": jnp.ones((1, T), jnp.int32),
+        **{k: jnp.asarray(v) for k, v in arrays.items()},
+    }
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    h = jax.jit(lambda p, b: bundle.hidden_fn(p, b, remat=False))(params, batch)
+    assert np.isfinite(np.asarray(h)).all()

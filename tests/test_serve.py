@@ -133,3 +133,33 @@ def _png_bytes():
     buf = io.BytesIO()
     Image.new("RGB", (8, 8)).save(buf, format="PNG")
     return buf.getvalue()
+
+
+def test_score_evaluation_405_without_reward_model(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(server, "/v1/score/evaluation",
+              {"model": "m", "messages": ["some text"]})
+    assert exc.value.code == 405  # generative-only (reference app.py:120-121)
+
+
+def test_score_evaluation_endpoint():
+    scored = {}
+
+    def score_fn(texts, max_length):
+        scored["args"] = (list(texts), max_length)
+        return [float(len(t)) for t in texts]
+
+    srv = ChatServer(generator=None, port=0, score_fn=score_fn)
+    srv.start_background()
+    try:
+        out = _post(srv, "/v1/score/evaluation",
+                    {"model": "rm", "messages": ["ab", "cdef"],
+                     "max_length": 32})
+        assert out["object"] == "score.evaluation"
+        assert out["scores"] == [2.0, 4.0]
+        assert out["id"].startswith("scoreval-")
+        assert scored["args"] == (["ab", "cdef"], 32)
+    finally:
+        srv.shutdown()
