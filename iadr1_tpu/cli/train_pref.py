@@ -1,8 +1,8 @@
-"""Preference-stage launcher: DPO (+ ORPO/SimPO/IPO/hinge), KTO, RM.
+"""Preference-stage launcher: DPO (+ ORPO/SimPO/IPO/hinge), KTO, RM, PPO.
 
 The TPU counterpart of the reference's stage dispatch
-(llamafactory/train/tuner.py run_exp -> run_dpo / run_kto / run_rm) over
-ranking / feedback datasets:
+(llamafactory/train/tuner.py run_exp -> run_dpo / run_kto / run_rm /
+run_ppo) over ranking / feedback datasets:
 
 * dpo / rm rows: {"messages": [...prompt turns...],
                   "chosen": "...", "rejected": "..."}
@@ -10,6 +10,10 @@ ranking / feedback datasets:
   {"role": ..., "content": ...} dicts)
 * kto rows: {"messages": [...full conversation...], "label": true|false}
   (feedback format: kto_tag)
+* ppo rows: {"messages": [...prompt turns...], "solution": "..."} --
+  prompts only; responses come from in-program rollout and are scored by
+  ``pref.reward_funcs`` from the reward registry (standing in for the
+  reference's reward model / reward server, ppo/trainer.py:239-263)
 
 Usage:
     python -m iadr1_tpu.cli.train_pref --config configs/dpo.yaml \
@@ -36,6 +40,7 @@ class PrefSection:
     desirable_weight: float = 1.0     # kto
     undesirable_weight: float = 1.0   # kto
     ref_dtype: str = "bfloat16"
+    reward_funcs: tuple = ("format", "accuracy")  # ppo reward registry
 
 
 @dataclasses.dataclass
@@ -55,6 +60,7 @@ class PrefJobConfig:
     mesh: dict = dataclasses.field(default_factory=dict)
     optim: dict = dataclasses.field(default_factory=dict)
     train: dict = dataclasses.field(default_factory=dict)
+    ppo: dict = dataclasses.field(default_factory=dict)  # PPOConfig fields
 
 
 def _content(x) -> str:
@@ -119,7 +125,7 @@ def main(argv=None):
     opt_cfg = dataclass_from_dict(OptimizerConfig, cfg.optim)
     if not opt_cfg.total_steps:
         opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
-    if cfg.stage not in ("dpo", "kto", "rm"):
+    if cfg.stage not in ("dpo", "kto", "rm", "ppo"):
         raise ValueError(f"unknown stage {cfg.stage!r}")
 
     model_cfg = cfg.model
@@ -146,6 +152,77 @@ def main(argv=None):
         raw = raw[: cfg.data.max_samples]
 
     T = cfg.data.cutoff_len
+    if cfg.stage == "ppo":
+        from iadr1_tpu.core.config import dataclass_from_dict as _dfd
+        from iadr1_tpu.rewards import get_reward_funcs
+        from iadr1_tpu.train.ppo import (
+            PPOConfig,
+            PPOTrainer,
+            make_ppo_state_params,
+        )
+        from iadr1_tpu.train.state import create_sharded_state as _css
+
+        examples = []
+        for row in raw:
+            messages = row.get("messages", row.get("conversations"))
+            if messages and messages[-1].get("role") == "assistant":
+                messages = messages[:-1]   # prompts only; rollout answers
+            ex = {k: v for k, v in row.items()
+                  if k not in ("messages", "conversations")}
+            ex["prompt_ids"] = template.encode_prompt(
+                tokenizer, messages, system=row.get("system"))
+            examples.append(ex)
+
+        mesh = build_mesh(dataclass_from_dict(MeshConfig, cfg.mesh))
+        params = jax.device_put(
+            params, pytree_shardings(bundle.logical_axes(), mesh))
+        optimizer, schedule = make_optimizer(opt_cfg)
+        tcfg = getattr(bundle.cfg, "text", bundle.cfg)
+        full_params = make_ppo_state_params(
+            params, tcfg.hidden_size, jax.random.PRNGKey(1))
+        state = create_sharded_state(full_params, optimizer)
+
+        funcs = get_reward_funcs(list(cfg.pref.reward_funcs))
+        extra_keys = {k for ex in examples for k in ex if k != "prompt_ids"}
+
+        def reward_fn(texts, batch_examples):
+            completions = [[{"role": "assistant", "content": t}] for t in texts]
+            kwargs = {k: [ex.get(k) for ex in batch_examples]
+                      for k in extra_keys}
+            total = np.zeros(len(texts))
+            for fn in funcs:
+                total += np.asarray(
+                    fn(completions=completions, current_step=0, **kwargs),
+                    np.float64)
+            return total
+
+        ppo_cfg = _dfd(PPOConfig, cfg.ppo)
+        # distinct frozen ref copy: state is donated into the update step,
+        # so the reference cannot alias state.params["model"] buffers
+        ref_dtype = getattr(jnp, cfg.pref.ref_dtype)
+        ref_params = jax.tree.map(lambda x: x.astype(ref_dtype), params)
+        trainer = PPOTrainer(bundle, tokenizer, optimizer, ppo_cfg,
+                             reward_fn, state, ref_params, schedule=schedule)
+        logger = JsonlLogger(loop_cfg.output_dir, loop_cfg.max_steps)
+        ckpt = CheckpointManager(
+            os.path.join(loop_cfg.output_dir, "checkpoints"),
+            max_to_keep=loop_cfg.keep_checkpoints,
+        )
+        rng = np.random.default_rng(loop_cfg.seed)
+        bs = max(loop_cfg.batch_size, 1)
+        for step_idx in range(1, loop_cfg.max_steps + 1):
+            idx = rng.choice(len(examples), size=min(bs, len(examples)),
+                             replace=False)
+            metrics = trainer.step([examples[i] for i in idx])
+            if step_idx % max(loop_cfg.logging_steps, 1) == 0:
+                logger.log(step_idx, metrics)
+            if loop_cfg.save_steps and step_idx % loop_cfg.save_steps == 0:
+                ckpt.save(step_idx, trainer.state)
+        ckpt.save(loop_cfg.max_steps, trainer.state)
+        ckpt.wait()
+        logger.close()
+        return 0
+
     if cfg.stage in ("dpo", "rm"):
         pairs = []
         for row in raw:

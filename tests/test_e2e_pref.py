@@ -94,6 +94,43 @@ def test_cli_rm(checkpoint_dir, tmp_path):
     assert "accuracy" in records[0]
 
 
+def test_cli_ppo(checkpoint_dir, tmp_path):
+    from iadr1_tpu.cli.train_pref import main
+
+    rows = [
+        {"messages": [{"role": "user",
+                       "content": f"Are there defects in sample {i}?"}],
+         "solution": "<answer>No</answer>"}
+        for i in range(6)
+    ]
+    data = tmp_path / "ppo_prompts.json"
+    data.write_text(json.dumps(rows))
+    out_dir = str(tmp_path / "ppo_run")
+    cfg = {
+        "stage": "ppo",
+        "model": {"model_name_or_path": checkpoint_dir, "attention": "xla"},
+        "data": {"dataset_name": str(data), "template": "qwen2_vl",
+                 "cutoff_len": 96},
+        "pref": {"ref_dtype": "float32",
+                 "reward_funcs": ["format", "accuracy"]},
+        "ppo": {"max_prompt_length": 32, "max_completion_length": 8,
+                "mini_batch_size": 2, "ppo_epochs": 2, "logp_chunk_size": 16},
+        "mesh": {"dp": 1, "fsdp": 4, "tp": 2},
+        "optim": {"learning_rate": 1e-4, "warmup_ratio": 0.0},
+        "train": {"output_dir": out_dir, "max_steps": 2, "batch_size": 2,
+                  "logging_steps": 1, "save_steps": 0},
+    }
+    p = tmp_path / "ppo_cfg.json"
+    p.write_text(json.dumps(cfg))
+    assert main(["--config", str(p)]) == 0
+    records = [json.loads(l) for l in
+               open(os.path.join(out_dir, "trainer_log.jsonl"))]
+    assert len(records) == 2
+    for r in records:
+        assert np.isfinite(r["loss"]) and np.isfinite(r["vf_loss"])
+        assert "kl_coef" in r
+
+
 def test_cli_pt_stage(checkpoint_dir, tmp_path):
     from iadr1_tpu.cli.train_sft import main
 
