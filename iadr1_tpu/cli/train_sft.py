@@ -31,6 +31,22 @@ class ModelSection:
     # model_utils/rope.py configure_rope): linear | dynamic | llama3
     rope_scaling: str | None = None
     model_max_length: int | None = None
+    # LongLoRA shift-short attention, training only (reference:
+    # --shift_attn -> configure_longlora, model_utils/longlora.py:360-366)
+    shift_attn: bool = False
+
+
+@dataclasses.dataclass
+class PredictSection:
+    """do_predict path (reference: CustomSeq2SeqTrainer.save_predictions,
+    train/sft/trainer.py:137-171): after training, greedy-generate on the
+    dataset rows and write generated_predictions.jsonl with
+    {"prompt", "label", "predict"} per row."""
+    do_predict: bool = False
+    max_samples: int = 0               # 0 = all rows
+    max_new_tokens: int = 128
+    temperature: float = 0.0           # 0 = greedy (predict_with_generate)
+    batch_size: int = 4
 
 
 @dataclasses.dataclass
@@ -68,6 +84,65 @@ class SFTJobConfig:
     mesh: MeshSection = dataclasses.field(default_factory=MeshSection)
     optim: dict = dataclasses.field(default_factory=dict)
     train: dict = dataclasses.field(default_factory=dict)
+    predict: PredictSection = dataclasses.field(default_factory=PredictSection)
+
+
+def run_predict(bundle, params, tokenizer, template, data_cfg: DataSection,
+                pred_cfg: PredictSection, output_dir: str) -> str:
+    """Generate on the dataset prompts and write generated_predictions.jsonl
+    ({"prompt", "label", "predict"} per row -- the reference's
+    save_predictions schema, train/sft/trainer.py:137-171)."""
+    from iadr1_tpu.data.aligner import align_rows
+    from iadr1_tpu.data.registry import (
+        DatasetAttr,
+        load_dataset_registry,
+        load_json_dataset,
+    )
+    from iadr1_tpu.eval.generator import GeneratorConfig, VLMGenerator
+
+    if data_cfg.dataset.endswith((".json", ".jsonl")):
+        attr = DatasetAttr(
+            name="inline", file_name=data_cfg.dataset, formatting="sharegpt",
+            messages="messages", images="images",
+            role_tag="role", content_tag="content",
+            user_tag="user", assistant_tag="assistant",
+        )
+    else:
+        attr = load_dataset_registry(data_cfg.dataset_info)[data_cfg.dataset]
+    records = align_rows(load_json_dataset(attr), attr, data_cfg.image_dir)
+    if pred_cfg.max_samples:
+        records = records[: pred_cfg.max_samples]
+
+    gen = VLMGenerator(
+        bundle, params, tokenizer, template,
+        GeneratorConfig(
+            max_prompt_length=data_cfg.cutoff_len,
+            max_new_tokens=pred_cfg.max_new_tokens,
+            temperature=pred_cfg.temperature,
+            batch_size=pred_cfg.batch_size,
+            min_pixels=data_cfg.min_pixels, max_pixels=data_cfg.max_pixels,
+        ),
+    )
+    requests, prompts, labels = [], [], []
+    for rec in records:
+        msgs = rec["messages"]
+        label = msgs[-1]["content"] if msgs[-1]["role"] == "assistant" else ""
+        prompt_msgs = msgs[:-1] if label else msgs
+        requests.append({"messages": prompt_msgs, "images": rec["images"]})
+        prompts.append(
+            template.render_conversation(prompt_msgs,
+                                         add_generation_prompt=True))
+        labels.append(label)
+    preds = gen.generate(requests)
+    path = os.path.join(output_dir, "generated_predictions.jsonl")
+    os.makedirs(output_dir, exist_ok=True)
+    with open(path, "w") as f:
+        for prompt, label, predict in zip(prompts, labels, preds):
+            f.write(json.dumps(
+                {"prompt": prompt, "label": label, "predict": predict},
+                ensure_ascii=False) + "\n")
+    print(f"predictions saved to {path}")
+    return path
 
 
 def load_tokenizer(path: str):
@@ -216,7 +291,12 @@ def main(argv=None):
         hf_cfg_dict = configure_rope_scaling(
             hf_cfg_dict, cfg.model.rope_scaling, cfg.model.model_max_length
         )
-    bundle = bundle_from_hf_config(hf_cfg_dict, attention=cfg.model.attention)
+    attention = cfg.model.attention
+    if cfg.model.shift_attn and not attention.startswith("longlora"):
+        # training-only shift-short attention wrapping the selected impl
+        attention = ("longlora" if attention == "auto"
+                     else f"longlora_{attention}")
+    bundle = bundle_from_hf_config(hf_cfg_dict, attention=attention)
     if cfg.model.hf_config:
         params = bundle.init_params(jax.random.PRNGKey(cfg.model.seed), dtype=dtype)
     else:
@@ -293,6 +373,9 @@ def main(argv=None):
     state, history = run_sft_loop(state, step, batches, loop_cfg, ckpt, meter,
                                   start_step=start_step)
     print(json.dumps({"final": history[-1] if history else {}}))
+    if cfg.predict.do_predict:
+        run_predict(bundle, state.params, tokenizer, template, cfg.data,
+                    cfg.predict, loop_cfg.output_dir)
     return 0
 
 

@@ -35,6 +35,10 @@ class ChatTemplate:
     # "qwen2_vl" (vision_start/pad*N/vision_end), "llava" (single token or
     # anyres count), "plain"
     mm_style: str = "plain"
+    # llama2-style: the rendered system block is prepended INSIDE the first
+    # user message instead of standing alone (reference Llama2Template,
+    # template.py:162-205)
+    system_in_user: bool = False
 
     # --- rendering -------------------------------------------------------
 
@@ -51,13 +55,19 @@ class ChatTemplate:
                        system: str | None) -> list:
         """Render one message to a list of str/EOS/BOS chunks."""
         chunks: list = []
+        sys_text = ""
         if first:
             chunks += list(self.prefix)
             sys = system if system is not None else self.default_system
-            if sys:
+            if sys and self.system_in_user:
+                sys_text = "".join(
+                    s for s in self._fill(self.system, sys)
+                    if isinstance(s, str)
+                )
+            elif sys:
                 chunks += self._fill(self.system, sys)
         if role == "user":
-            chunks += self._fill(self.user, content)
+            chunks += self._fill(self.user, sys_text + content)
         elif role == "assistant":
             chunks += self._fill(self.assistant, content)
         else:
@@ -216,6 +226,150 @@ _register(
         mm_style="intern_vl",
     )
 )
+
+
+# --- general-purpose templates beyond the IAD-R1 recipe --------------------
+# Rendered strings match the reference registrations byte-for-byte
+# (llamafactory/data/template.py:404-1133); tool/function slots are out of
+# scope (the recipe never calls tools).  Templates the reference marks
+# efficient_eos keep the EOS chunk here: the label stream needs a
+# terminator either way, and single-turn training is identical.
+
+_register(ChatTemplate(
+    name="default",
+    user=("Human: {content}\nAssistant:",),
+    assistant=("{content}", EOS, "\n"),
+    system=("System: {content}\n",),
+))
+_register(ChatTemplate(
+    name="empty",
+    user=("{content}",),
+    assistant=("{content}", EOS),
+))
+_register(ChatTemplate(
+    name="alpaca",
+    user=("### Instruction:\n{content}\n\n### Response:\n",),
+    assistant=("{content}", EOS, "\n\n"),
+    default_system=(
+        "Below is an instruction that describes a task. "
+        "Write a response that appropriately completes the request.\n\n"
+    ),
+))
+_register(ChatTemplate(
+    name="vicuna",
+    user=("USER: {content} ASSISTANT:",),
+    default_system=_VICUNA_SYSTEM,
+))
+_register(ChatTemplate(
+    name="llama2",
+    user=(BOS, "[INST] {content} [/INST]"),
+    system=("<<SYS>>\n{content}\n<</SYS>>\n\n",),
+    system_in_user=True,
+))
+_register(ChatTemplate(
+    name="llama3",
+    user=("<|start_header_id|>user<|end_header_id|>\n\n{content}<|eot_id|>"
+          "<|start_header_id|>assistant<|end_header_id|>\n\n",),
+    assistant=("{content}<|eot_id|>",),
+    system=("<|start_header_id|>system<|end_header_id|>\n\n{content}<|eot_id|>",),
+    prefix=(BOS,),
+    stop_words=("<|eot_id|>", "<|eom_id|>"),
+))
+_register(ChatTemplate(
+    name="mistral",
+    user=("[INST] {content}[/INST]",),
+    assistant=(" {content}", EOS),
+    system=("{content}\n\n",),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="gemma",
+    user=("<start_of_turn>user\n{content}<end_of_turn>\n<start_of_turn>model\n",),
+    assistant=("{content}<end_of_turn>\n",),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="phi",
+    user=("<|user|>\n{content}<|end|>\n<|assistant|>\n",),
+    assistant=("{content}<|end|>\n",),
+    system=("<|system|>\n{content}<|end|>\n",),
+    stop_words=("<|end|>",),
+))
+_register(ChatTemplate(
+    name="phi4",
+    user=("<|im_start|>user<|im_sep|>{content}<|im_end|>"
+          "<|im_start|>assistant<|im_sep|>",),
+    assistant=("{content}<|im_end|>",),
+    system=("<|im_start|>system<|im_sep|>{content}<|im_end|>",),
+    stop_words=("<|im_end|>",),
+))
+_register(ChatTemplate(
+    name="qwen",
+    user=_CHATML_KW["user"],
+    assistant=_CHATML_KW["assistant"],
+    system=_CHATML_KW["system"],
+    default_system="You are a helpful assistant.",
+    stop_words=("<|im_end|>",),
+))
+_register(ChatTemplate(
+    name="yi",
+    user=_CHATML_KW["user"],
+    assistant=_CHATML_KW["assistant"],
+    system=_CHATML_KW["system"],
+    stop_words=("<|im_end|>",),
+))
+_register(ChatTemplate(
+    name="deepseek",
+    user=("User: {content}\n\nAssistant:",),
+    system=("{content}\n\n",),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="deepseek3",
+    user=("<｜User｜>{content}<｜Assistant｜>",),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="baichuan2",
+    user=("<reserved_106>{content}<reserved_107>",),
+))
+_register(ChatTemplate(
+    name="zephyr",
+    user=("<|user|>\n{content}", EOS, "<|assistant|>\n"),
+    system=("<|system|>\n{content}", EOS),
+    default_system="You are Zephyr, a helpful assistant.",
+))
+_register(ChatTemplate(
+    name="openchat",
+    user=("GPT4 Correct User: {content}", EOS, "GPT4 Correct Assistant:"),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="intern2",
+    user=_CHATML_KW["user"],
+    assistant=_CHATML_KW["assistant"],
+    system=_CHATML_KW["system"],
+    prefix=(BOS,),
+    stop_words=("<|im_end|>",),
+))
+_register(ChatTemplate(
+    name="glm4",
+    user=("<|user|>\n{content}<|assistant|>",),
+    assistant=("\n{content}", EOS),
+    system=("<|system|>\n{content}",),
+    prefix=("[gMASK]<sop>",),
+    stop_words=("<|user|>", "<|observation|>"),
+))
+_register(ChatTemplate(
+    name="olmo",
+    user=("<|user|>\n{content}<|assistant|>\n",),
+    prefix=(EOS,),
+))
+_register(ChatTemplate(
+    name="falcon",
+    user=("User: {content}\nFalcon:",),
+    assistant=("{content}", EOS, "\n"),
+))
 
 
 def get_template(name: str) -> ChatTemplate:

@@ -46,14 +46,84 @@ def flash_attn(q, k, v, *, mask=None, q_segments=None, kv_segments=None,
     return out.transpose(0, 2, 1, 3)
 
 
+def make_longlora_attention(inner, group_size_ratio: float = 0.25):
+    """LongLoRA shift-short (S^2) attention over any inner implementation.
+
+    Counterpart of the reference's llama_attention_forward shift patch
+    (model_utils/longlora.py:84-121, configure_longlora :360-366,
+    group_size_ratio=0.25): sequences split into groups of
+    ``T * ratio``; the second half of the heads attends in groups shifted
+    by group/2 (rolled), so information flows between adjacent groups;
+    outputs are rolled back and heads re-concatenated.
+
+    TPU design: instead of expanding KV to full MHA and building a tiled
+    group mask (the torch patch), the two head halves run as two
+    batched-attention calls on [B*n_groups, group, H/2, D] views -- static
+    shapes, block-diagonal by construction, GQA preserved by splitting KV
+    heads the same way.  Segment ids roll together with the shifted half,
+    so packed batches keep exact segment semantics in both halves.
+    Training-only, like the reference (`self.training` gate): generation
+    paths must use plain attention.
+    """
+
+    def grouped(x, g):
+        B, T = x.shape[:2]
+        return x.reshape((B * (T // g), g) + x.shape[2:])
+
+    def ungrouped(x, B, T):
+        return x.reshape((B, T) + x.shape[2:])
+
+    def attn(q, k, v, *, mask=None, q_segments=None, kv_segments=None,
+             causal=True):
+        B, T, H, D = q.shape
+        Hkv = k.shape[2]
+        g = int(T * group_size_ratio)
+        if g <= 0 or T % g != 0 or H % 2 != 0 or Hkv % 2 != 0:
+            raise ValueError(
+                f"LongLoRA needs T divisible by group ({T} % {g}) and even "
+                f"head counts (H={H}, Hkv={Hkv})"
+            )
+        half, half_kv = H // 2, Hkv // 2
+        segs = q_segments
+        if segs is None:
+            segs = jax.numpy.ones((B, T), jax.numpy.int32)
+
+        def run(qh, kh, vh, sh):
+            from iadr1_tpu.models.common import make_attention_mask
+
+            sg = grouped(sh, g)
+            idx = jax.numpy.broadcast_to(
+                jax.numpy.arange(g), sg.shape).astype(jax.numpy.int32)
+            group_mask = make_attention_mask(sg, sg, idx, idx, causal=causal)
+            return inner(
+                grouped(qh, g), grouped(kh, g), grouped(vh, g),
+                mask=group_mask, q_segments=sg, kv_segments=sg,
+                causal=causal,
+            )
+
+        out1 = run(q[:, :, :half], k[:, :, :half_kv], v[:, :, :half_kv], segs)
+        roll = lambda x: jax.numpy.roll(x, -(g // 2), axis=1)
+        out2 = run(roll(q[:, :, half:]), roll(k[:, :, half_kv:]),
+                   roll(v[:, :, half_kv:]), roll(segs))
+        out1 = ungrouped(out1, B, T)
+        out2 = jax.numpy.roll(ungrouped(out2, B, T), g // 2, axis=1)
+        return jax.numpy.concatenate([out1, out2], axis=2)
+
+    return attn
+
+
 def default_attention(kind: str = "auto"):
-    """Pick the attention impl: 'flash' | 'xla' | 'auto' (flash on TPU)."""
+    """Pick the attention impl: 'flash' | 'xla' | 'auto' (flash on TPU),
+    or 'longlora[_flash|_xla]' for shift-short attention (training only)."""
     if kind == "auto":
         kind = "flash" if jax.default_backend() == "tpu" else "xla"
     if kind == "flash":
         return flash_attn
     if kind == "xla":
         return xla_attn
+    if kind.startswith("longlora"):
+        _, _, inner = kind.partition("_")
+        return make_longlora_attention(default_attention(inner or "auto"))
     raise ValueError(f"unknown attention kind {kind!r}")
 
 

@@ -84,3 +84,55 @@ def make_transformer_embedding_backend(model_name_or_path: str):
         return pooled.tolist()
 
     return embed
+
+
+def make_bundle_embedding_backend(bundle, params, tokenizer,
+                                  max_len: int = 128, batch_size: int = 8):
+    """TPU-native embedding backend: mean-pooled decoder hidden states from
+    any registry ModelBundle (the policy itself can score its own
+    description similarity -- no second model, no torch).
+
+    Same pooling recipe as the reference's sentence-transformers usage
+    (mean pool + L2 normalize, description_reward.py:7-52); the encoder is
+    whatever checkpoint you pass.  The forward is jitted once at fixed
+    [batch_size, max_len] shapes.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def _embed(params, ids, mask):
+        B, T = ids.shape
+        batch = {
+            "input_ids": ids,
+            "segment_ids": mask,
+            "position_ids": jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, None),
+        }
+        hidden = bundle.hidden_fn(params, batch)          # [B, T, H]
+        m = mask.astype(hidden.dtype)[:, :, None]
+        pooled = (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-9)
+        return pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9)
+
+    pad = tokenizer.pad_token_id or tokenizer.eos_token_id
+
+    def embed(texts: Sequence[str]) -> list[list[float]]:
+        out = []
+        for start in range(0, len(texts), batch_size):
+            chunk = list(texts[start:start + batch_size])
+            n = len(chunk)
+            ids = np.full((batch_size, max_len), pad, np.int32)
+            mask = np.zeros((batch_size, max_len), np.int32)
+            for i, t in enumerate(chunk):
+                enc = tokenizer.encode(t, add_special_tokens=False)[:max_len]
+                if not enc:
+                    enc = [pad]
+                ids[i, :len(enc)] = enc
+                mask[i, :len(enc)] = 1
+            pooled = np.asarray(_embed(params, jnp.asarray(ids),
+                                       jnp.asarray(mask)))
+            out.extend(pooled[:n].tolist())
+        return out
+
+    return embed

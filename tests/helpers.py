@@ -146,8 +146,12 @@ def build_iad_rl_dataset(dirpath) -> tuple[str, str]:
     return path, img_dir
 
 
-def build_benchmark_json(dirpath, n=8) -> tuple[str, str]:
-    """Synthetic test_*_format.json benchmark + images."""
+def build_benchmark_json(dirpath, n=8, templates=0) -> tuple[str, str]:
+    """Synthetic test_*_format.json benchmark + images.
+
+    ``templates`` > 0 writes that many normal-sample template images per
+    item and lists them in similar_templates/random_templates (the
+    reference few-shot flow, vLLM_Qwen_detect_format.py:88-128)."""
     import os
 
     from PIL import Image
@@ -163,6 +167,15 @@ def build_benchmark_json(dirpath, n=8) -> tuple[str, str]:
         Image.fromarray(
             rng.integers(0, 255, (56, 56, 3), np.uint8)
         ).save(full)
+        tpl_rels = []
+        for t in range(templates):
+            tpl_rel = f"TinyDS/cls/good/tpl_{i}_{t}.png"
+            tpl_full = os.path.join(img_root, tpl_rel)
+            os.makedirs(os.path.dirname(tpl_full), exist_ok=True)
+            Image.fromarray(
+                rng.integers(0, 255, (56, 56, 3), np.uint8)
+            ).save(tpl_full)
+            tpl_rels.append(tpl_rel)
         data[rel] = {
             "image_path": rel,
             "conversation": [{
@@ -171,8 +184,8 @@ def build_benchmark_json(dirpath, n=8) -> tuple[str, str]:
                 "Options": {"A": "Yes.", "B": "No."},
                 "type": "Anomaly Detection",
             }],
-            "similar_templates": [],
-            "random_templates": [],
+            "similar_templates": tpl_rels,
+            "random_templates": tpl_rels,
         }
     path = os.path.join(str(dirpath), "test_TinyDS_format.json")
     with open(path, "w") as f:

@@ -100,6 +100,68 @@ def test_cli_infer_end_to_end(checkpoint_dir, tmp_path):
     assert len(json.load(open(answers_path))) == 8
 
 
+def test_cli_infer_few_shot_multi_image(checkpoint_dir, tmp_path):
+    """Real few-shot eval: template image + test image both go through the
+    vision tower (weak spot flagged in round 1 -- few-shot was previously
+    only exercised with synthetic single-image fixtures).  Mirrors the
+    reference's similar_templates flow (vLLM_Qwen_detect_format.py:88-128).
+    """
+    from iadr1_tpu.cli.infer import main
+
+    bench_path, img_root = build_benchmark_json(tmp_path, n=4, templates=2)
+
+    # the encoded prompt must contain TWO expanded image-token runs
+    import jax.numpy as jnp
+    from iadr1_tpu.data.template import get_template
+    from iadr1_tpu.eval.generator import GeneratorConfig, VLMGenerator
+    from iadr1_tpu.eval.harness import build_messages, load_benchmark
+    from iadr1_tpu.models.params_io import load_safetensors_path
+    from iadr1_tpu.models.registry import bundle_from_pretrained
+    from transformers import AutoTokenizer
+
+    bundle = bundle_from_pretrained(checkpoint_dir, attention="xla")
+    tokenizer = AutoTokenizer.from_pretrained(checkpoint_dir)
+    items = load_benchmark(bench_path, num_shot=1)
+    assert all(len(it.few_shot) == 1 for it in items)
+    gen = VLMGenerator(
+        bundle,
+        bundle.convert_hf(load_safetensors_path(checkpoint_dir),
+                          dtype=jnp.float32),
+        tokenizer, get_template("qwen2_vl"),
+        GeneratorConfig(max_prompt_length=128, max_new_tokens=8,
+                        batch_size=2, patch_budget=128,
+                        max_pixels=56 * 56 * 4),
+    )
+    item = items[0]
+    images = [os.path.join(img_root, p) for p in item.few_shot]
+    images.append(os.path.join(img_root, item.image))
+    ids, patches, grids = gen._encode_request(
+        build_messages(item), images)
+    img_id = bundle.cfg.image_token_id
+    assert len(patches) == 2 and len(grids) == 2
+    n_img_tokens = sum(1 for t in ids if t == img_id)
+    assert n_img_tokens == sum(g[0] * g[1] * g[2] // 4 for g in grids)
+
+    # full CLI run at 1-shot: every prompt carries 2 images end to end
+    out_dir = str(tmp_path / "results_fs")
+    assert main([
+        "--model-path", checkpoint_dir,
+        "--test-data", bench_path,
+        "--image-dir", img_root,
+        "--output-dir", out_dir,
+        "--num-shot", "1",
+        "--batch-size", "2",
+        "--max-prompt-length", "192",
+        "--max-new-tokens", "8",
+        "--patch-budget", "128",
+        "--max-pixels", str(56 * 56 * 4),
+        "--attention", "xla",
+    ]) == 0
+    answers = json.load(open(os.path.join(out_dir, "answers_1_shot.json")))
+    assert len(answers) == 4
+    assert all(a["gpt_answer"] in "ABE" for a in answers)
+
+
 def test_cli_grpo_lora_ref_elision(checkpoint_dir, tmp_path):
     """LoRA GRPO through the CLI: factored adapters over a frozen base,
     reference model elided (one weight copy)."""

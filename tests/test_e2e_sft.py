@@ -111,8 +111,10 @@ def test_cli_sft_end_to_end(checkpoint_dir, dataset, tmp_path):
         "optim": {"learning_rate": 5e-3, "warmup_ratio": 0.0},
         "train": {
             "output_dir": out_dir, "max_steps": 6, "batch_size": 2,
-            "logging_steps": 2, "save_steps": 0,
+            "logging_steps": 2, "save_steps": 0, "plot_loss": True,
         },
+        "predict": {"do_predict": True, "max_samples": 2,
+                    "max_new_tokens": 4, "batch_size": 2},
     }
     cfg_path = tmp_path / "cfg.json"
     cfg_path.write_text(json.dumps(cfg))
@@ -126,6 +128,16 @@ def test_cli_sft_end_to_end(checkpoint_dir, dataset, tmp_path):
     losses = [r["loss"] for r in records]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+    # plot_loss wrote the curve PNG (reference extras/ploting.py)
+    assert os.path.exists(os.path.join(out_dir, "training_loss.png"))
+
+    # do_predict wrote save_predictions-schema jsonl (sft/trainer.py:137-171)
+    preds = [json.loads(l) for l in
+             open(os.path.join(out_dir, "generated_predictions.jsonl"))]
+    assert len(preds) == 2
+    assert all(set(p) == {"prompt", "label", "predict"} for p in preds)
+    assert all(p["label"].endswith("</answer>") for p in preds)
 
     # checkpoint written
     ckpts = os.listdir(os.path.join(out_dir, "checkpoints"))
