@@ -36,6 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+# The online softmax runs in base 2: the TPU VPU's exp lowers to
+# exp2(x * log2(e)) anyway, so folding log2(e) into the attention scale
+# saves one full [block_q, block_k] multiply pass per tile in all three
+# kernels.  Statistics (m, lse) are kept in base-2 units in-kernel and
+# converted back to natural log only at the [block_q, 1] store.
+LOG2E = 1.4426950408889634
 # lse/di residuals are stored [B, H, T, RES_LANES]: 8 is the f32 sublane
 # minimum -- 16x less HBM than lane-padded (the residual buffers dominate
 # backward HBM traffic at [B=8, H=14, T=4096])
@@ -115,19 +121,20 @@ def _fwd_kernel(
 
         for g in range(group):
             q = q_ref[0, g]  # [block_q, d]
+            # base-2 logits: scale * log2(e) folded into one multiply
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            ) * (scale * LOG2E)
             if madd is not None:
                 s = s + madd
 
-            m_prev = m_scratch[g]            # [block_q, RES_LANES]
+            m_prev = m_scratch[g]            # [block_q, RES_LANES], base 2
             l_prev = l_scratch[g]
             m_curr = jnp.max(s, axis=1)[:, None]
             m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
             l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
 
             m_scratch[g] = m_next
@@ -145,7 +152,8 @@ def _fwd_kernel(
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0, g] = (acc_scratch[g] * l_inv).astype(o_ref.dtype)
             m = m_scratch[g][:, :1]
-            lse = jnp.where(l == 0.0, jnp.inf, m + jnp.log(l))
+            # convert the base-2 max back to a natural-log lse
+            lse = jnp.where(l == 0.0, jnp.inf, m / LOG2E + jnp.log(l))
             lse_ref[0, g] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -232,20 +240,22 @@ def _bwd_dq_kernel(
 
         for g in range(group):
             q = q_ref[0, g]
-            do = do_ref[0, g].astype(jnp.float32)
-            lse = lse_ref[0, g][:, :1]   # [block_q, 1]
+            do = do_ref[0, g]
+            lse2 = lse_ref[0, g][:, :1]  # [block_q, 1], base-2 units
             di = di_ref[0, g][:, :1]
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            ) * (scale * LOG2E)
             if madd is not None:
                 s = s + madd
 
-            p = jnp.exp(s - lse)                               # [bq, bk]
+            p = jnp.exp2(s - lse2)                             # [bq, bk]
+            # MXU matmuls take the native (bf16) inputs with f32
+            # accumulation -- f32-input matmuls run at a fraction of peak
             dp = jax.lax.dot_general(
-                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - di) * scale
@@ -292,24 +302,25 @@ def _bwd_dkv_kernel(
 
         for g in range(group):
             q = q_ref[0, g]
-            do = do_ref[0, g].astype(jnp.float32)
-            lse = lse_ref[0, g][:, :1]
+            do = do_ref[0, g]
+            lse2 = lse_ref[0, g][:, :1]  # base-2 units
             di = di_ref[0, g][:, :1]
 
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            ) * (scale * LOG2E)
             if mask is not None:
                 s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
-            p = jnp.exp(s - lse)                                 # [bq, bk]
+            p = jnp.exp2(s - lse2)                               # [bq, bk]
+            # bf16 MXU inputs, f32 accumulation (see dq kernel note)
             dv_scratch[...] += jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             dp = jax.lax.dot_general(
-                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - di) * scale                           # [bq, bk]
@@ -334,9 +345,10 @@ def _bwd(
 
     di = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     di = jnp.broadcast_to(di[..., None], (B, H, T, RES_LANES))
-    # lse residual is stored lane-compact as [B, H, T]; the kernels read
-    # RES_LANES-wide blocks (transient broadcast, not a saved buffer)
-    lse = jnp.broadcast_to(lse[..., None], (B, H, T, RES_LANES))
+    # lse residual is stored lane-compact as [B, H, T] in natural units;
+    # the kernels recompute p in base 2, so the broadcast (transient, not a
+    # saved buffer) also rebases it: p = exp2(s*log2e - lse*log2e)
+    lse = jnp.broadcast_to((lse * LOG2E)[..., None], (B, H, T, RES_LANES))
 
     # --- dq: grid over KV heads, GQA group looped inside --------------------
     bq, bk = min(blocks.block_q_dq, T), min(blocks.block_k_dq, S)
