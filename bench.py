@@ -150,8 +150,13 @@ def bench_sft_vlm(on_tpu: bool) -> dict:
     bundle = make_llava_onevision_bundle(
         hf, attention="flash" if on_tpu else "xla")
     params = bundle.init_params(jax.random.PRNGKey(0))
+    if on_tpu:
+        # 0.9B full-parameter + f32 Adam moments is 172M over one chip's
+        # 16G HBM -- store the first moment in bf16 (v stays f32)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     optimizer, schedule = make_optimizer(
-        OptimizerConfig(learning_rate=1e-5, total_steps=1000))
+        OptimizerConfig(learning_rate=1e-5, total_steps=1000,
+                        mu_dtype="bfloat16" if on_tpu else None))
     state = create_sharded_state(params, optimizer)
     step = make_chunked_sft_step(
         bundle.hidden_fn, bundle.head_kernel_fn, optimizer, schedule,
@@ -322,31 +327,42 @@ def bench_grpo(on_tpu: bool) -> dict:
             "prompts": n_prompts, "P": P, "N": N}
 
 
+def _safe(fn, on_tpu):
+    """A sub-bench failure must never swallow the headline JSON line."""
+    import traceback
+
+    try:
+        return fn(on_tpu)
+    except Exception as e:  # noqa: BLE001 -- record and move on
+        traceback.print_exc(file=sys.stderr)
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def main():
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    sft = bench_sft_text(on_tpu)
-    vlm = bench_sft_vlm(on_tpu)
-    rollout = bench_rollout(on_tpu)
-    grpo = bench_grpo(on_tpu)
+    sft = _safe(bench_sft_text, on_tpu)
+    vlm = _safe(bench_sft_vlm, on_tpu)
+    rollout = _safe(bench_rollout, on_tpu)
+    grpo = _safe(bench_grpo, on_tpu)
 
     print(json.dumps({
         "metric": "sft_tokens_per_sec_per_chip_0.5b",
-        "value": sft["tokens_per_sec"],
+        "value": sft.get("tokens_per_sec", 0.0),
         "unit": "tokens/s/chip",
-        "vs_baseline": round(sft["mfu"] / 0.40, 4),
+        "vs_baseline": round(sft.get("mfu", 0.0) / 0.40, 4),
         "extra": {
             "backend": jax.default_backend(),
-            "sft_mfu": sft["mfu"],
+            "sft_mfu": sft.get("mfu"),
             "sft": sft,
-            "vlm_sft_tokens_per_sec": vlm["tokens_per_sec"],
-            "vlm_mfu": vlm["mfu"],
+            "vlm_sft_tokens_per_sec": vlm.get("tokens_per_sec"),
+            "vlm_mfu": vlm.get("mfu"),
             "vlm_sft": vlm,
-            "rollout_decode_tokens_per_sec": rollout["decode_tokens_per_sec"],
+            "rollout_decode_tokens_per_sec": rollout.get("decode_tokens_per_sec"),
             "rollout": rollout,
-            "grpo_step_sec": grpo["step_sec"],
-            "grpo_rollouts_per_sec": grpo["rollouts_per_sec"],
+            "grpo_step_sec": grpo.get("step_sec"),
+            "grpo_rollouts_per_sec": grpo.get("rollouts_per_sec"),
             "grpo": grpo,
         },
     }))

@@ -20,6 +20,10 @@ def main(argv=None):
     parser.add_argument("--temperature", type=float, default=0.7)
     parser.add_argument("--patch-budget", type=int, default=4096)
     parser.add_argument("--attention", default="auto")
+    parser.add_argument("--quant", choices=["none", "int8"], default="none",
+                        help="int8: weight-only quantization of the linear "
+                        "kernels (models/quant.py) -- halves weight HBM "
+                        "traffic during decode")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -35,6 +39,13 @@ def main(argv=None):
     params = bundle.convert_hf(
         load_safetensors_path(args.model_path), dtype=jnp.bfloat16
     )
+    if args.quant == "int8":
+        from iadr1_tpu.models.quant import quantize_tree, quantized_bytes
+
+        params = quantize_tree(params)
+        now, bf16 = quantized_bytes(params)
+        print(f"int8 weight-only quant: {now/1e6:.1f} MB "
+              f"(bf16 would be {bf16/1e6:.1f} MB)")
     tokenizer = AutoTokenizer.from_pretrained(args.model_path)
     template = get_template(args.template or bundle.template)
     generator = VLMGenerator(

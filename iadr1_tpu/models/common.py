@@ -51,8 +51,15 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     return (x * scale.astype(jnp.float32)).astype(dtype)
 
 
-def dense(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None):
-    """x @ kernel with f32 accumulation; kernel layout is [in, out]."""
+def dense(x: jax.Array, kernel, bias: jax.Array | None = None):
+    """x @ kernel with f32 accumulation; kernel layout is [in, out].
+
+    ``kernel`` may be an int8 weight-only quant dict
+    ({"qvalues", "scales"}, models/quant.py): the dequant multiply fuses
+    into the matmul's tile load, halving weight HBM traffic."""
+    if isinstance(kernel, dict):
+        kernel = (kernel["qvalues"].astype(x.dtype)
+                  * kernel["scales"].astype(x.dtype))
     out = jnp.einsum(
         "...i,io->...o", x, kernel.astype(x.dtype),
         preferred_element_type=jnp.float32,

@@ -47,6 +47,12 @@ class GRPOConfig:
     max_completion_length: int = 512
     scale_rewards: bool = True        # divide by group std
     logp_chunk_size: int = 1024       # LM-head chunking for logp scoring
+    # TR-DPO-style periodic ref refresh (trl GRPOConfig sync_ref_model /
+    # ref_model_mixup_alpha / ref_model_sync_steps, grpo_config.py:140-152):
+    # every sync_steps, ref <- alpha*policy + (1-alpha)*ref
+    sync_ref_model: bool = False
+    ref_model_mixup_alpha: float = 0.6
+    ref_model_sync_steps: int = 512
     # "save_flash" keeps flash (out,lse) as remat residuals (faster);
     # "full" recomputes them in backward (memory-tight large-model mode)
     remat: str = "save_flash"
@@ -290,6 +296,27 @@ class GRPOTrainer:
             )
         self._rng = jax.random.PRNGKey(0)
         self.metrics_history: list[dict] = []
+        # TR-DPO ref sync (SyncRefModelCallback._sync_target_model:
+        # ref = (1-alpha)*ref + alpha*policy)
+        self._sync_ref = jax.jit(
+            lambda ref, pol: jax.tree.map(
+                lambda r, p: ((1.0 - cfg.ref_model_mixup_alpha) * r.astype(jnp.float32)
+                              + cfg.ref_model_mixup_alpha * p.astype(jnp.float32)
+                              ).astype(r.dtype),
+                ref, pol,
+            )
+        )
+
+    def maybe_sync_ref(self):
+        """Periodic reference refresh (trl sync_ref_model); no-op in LoRA
+        ref-elision mode where the frozen base IS the reference."""
+        if not self.cfg.sync_ref_model or self._lora_mode:
+            return False
+        step = int(self.state.step)
+        if step > 0 and step % self.cfg.ref_model_sync_steps == 0:
+            self.ref_params = self._sync_ref(self.ref_params, self.state.params)
+            return True
+        return False
 
     def fast_forward_rng(self, n_steps: int):
         """Advance the sampling PRNG as if ``n_steps`` rollouts had run
@@ -406,6 +433,7 @@ class GRPOTrainer:
         )
 
         out = {k: float(v) for k, v in metrics.items()}
+        out["ref_synced"] = float(self.maybe_sync_ref())
         out["reward"] = float(rewards.mean())
         out["reward_std"] = float(
             rewards.reshape(-1, G).std(axis=1, ddof=1).mean()

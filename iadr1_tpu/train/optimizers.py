@@ -28,6 +28,9 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # dtype of the Adam first moment ("bfloat16" halves optimizer HBM for
+    # the m buffer; v stays f32 for rsqrt precision)
+    mu_dtype: str | None = None
     max_grad_norm: float = 1.0
     # adamw | adafactor | sgd | lion | galore | apollo | badam | adam_mini | muon
     optimizer: str = "adamw"
@@ -122,7 +125,7 @@ def make_optimizer(cfg: OptimizerConfig) -> tuple[optax.GradientTransformation, 
     if cfg.optimizer == "adamw":
         opt = optax.adamw(
             schedule, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps,
-            weight_decay=cfg.weight_decay,
+            weight_decay=cfg.weight_decay, mu_dtype=cfg.mu_dtype,
         )
     elif cfg.optimizer == "adafactor":
         opt = optax.adafactor(schedule)

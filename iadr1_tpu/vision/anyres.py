@@ -91,10 +91,15 @@ def onevision_tiles(image, grid_pinpoints, tile_size: int = 384,
 
 
 def patchify_tiles(tiles: np.ndarray, patch_size: int) -> np.ndarray:
-    """[n, C, H, W] -> [n, (H/ps)*(W/ps), C*ps*ps] in conv-kernel order."""
+    """[n, C, H, W] -> [n, (H//ps)*(W//ps), C*ps*ps] in conv-kernel order.
+
+    Trailing rows/cols that do not fill a whole patch are dropped, exactly
+    like the strided valid-padding patch-embed conv (SigLIP-so400m-384 has
+    384 = 27*14 + 6: the final 6 pixels never enter the conv)."""
     n, c, h, w = tiles.shape
     gh, gw = h // patch_size, w // patch_size
-    x = tiles.reshape(n, c, gh, patch_size, gw, patch_size)
+    x = tiles[:, :, : gh * patch_size, : gw * patch_size]
+    x = x.reshape(n, c, gh, patch_size, gw, patch_size)
     x = x.transpose(0, 2, 4, 1, 3, 5)
     return x.reshape(n, gh * gw, c * patch_size * patch_size).astype(np.float32)
 

@@ -177,6 +177,50 @@ def test_vlm_prompt_truncation_guard():
         trainer._collate_prompts([{"prompt_ids": [1, 42, 42, 3, 4, 5]}])
 
 
+def test_sync_ref_model():
+    """TR-DPO-style periodic ref refresh (trl sync_ref_model): every
+    sync_steps, ref <- alpha*policy + (1-alpha)*ref."""
+    tok = tiny_qwen_tokenizer()
+    hf_cfg = {**TINY, "vocab_size": max(tok.vocab_size, 600)}
+    bundle = make_qwen2_bundle(hf_cfg, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(
+        OptimizerConfig(learning_rate=5e-3, total_steps=10, warmup_ratio=0.0))
+    state = create_train_state(params, optimizer)
+    ref_params = jax.tree.map(jnp.copy, params)
+    cfg = GRPOConfig(
+        num_generations=2, max_prompt_length=8, max_completion_length=2,
+        sync_ref_model=True, ref_model_sync_steps=2,
+        ref_model_mixup_alpha=0.6, logp_chunk_size=8,
+    )
+    trainer = GRPOTrainer(bundle, tok, optimizer, cfg,
+                          [_reward_contains_token("x")], state, ref_params)
+    ref_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                              trainer.ref_params)
+    examples = [{"prompt_ids": [5, 6, 7], "solution": "s"}]
+    m1 = trainer.step(examples)      # step count 1: no sync
+    assert m1["ref_synced"] == 0.0
+    mid = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.ref_params)
+    for a, b in zip(jax.tree.leaves(ref_before), jax.tree.leaves(mid)):
+        np.testing.assert_array_equal(a, b)
+    # make policy visibly diverge from ref (zero rewards -> zero grads, so
+    # the update itself leaves params unchanged in this toy run)
+    trainer.state = trainer.state._replace(
+        params=jax.tree.map(lambda x: x + 0.01, trainer.state.params))
+    m2 = trainer.step(examples)      # step count 2: sync fires
+    assert m2["ref_synced"] == 1.0
+    after = jax.tree.leaves(trainer.ref_params)
+    moved = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(ref_before), after)]
+    assert all(moved)
+    # mixed value matches alpha*policy + (1-alpha)*ref exactly
+    pol = jax.tree.leaves(trainer.state.params)
+    for r0, r1, p in zip(jax.tree.leaves(ref_before), after, pol):
+        np.testing.assert_allclose(
+            np.asarray(r1), 0.4 * np.asarray(r0) + 0.6 * np.asarray(p),
+            atol=1e-5)
+
+
 def _reward_contains_token(target_text):
     def fn(completions, **kwargs):
         return [
