@@ -342,3 +342,27 @@ def test_video_preprocess_and_expansion():
     params = bundle.init_params(jax.random.PRNGKey(0))
     h = jax.jit(lambda p, b: bundle.hidden_fn(p, b, remat=False))(params, batch)
     assert np.isfinite(np.asarray(h)).all()
+
+
+def test_registry_hub_sources(tmp_path):
+    """hf_hub/ms_hub-backed entries parse (reference data/parser.py) and
+    fail with an actionable error when the hub is unreachable."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from iadr1_tpu.data.registry import load_dataset_registry, load_json_dataset
+
+    info = {
+        "hub_ds": {"hf_hub_url": "org/name", "formatting": "sharegpt"},
+        "ms_ds": {"ms_hub_url": "org/name"},
+    }
+    p = tmp_path / "dataset_info.json"
+    p.write_text(_json.dumps(info))
+    reg = load_dataset_registry(str(p))
+    assert reg["hub_ds"].hf_hub_url == "org/name"
+    assert reg["ms_ds"].ms_hub_url == "org/name"
+    with _pytest.raises(RuntimeError, match="ModelScope"):
+        load_json_dataset(reg["ms_ds"])
+    with _pytest.raises(ValueError, match="no file_name"):
+        load_json_dataset(reg["hub_ds"].__class__(name="x"))
