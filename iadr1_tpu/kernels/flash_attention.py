@@ -64,22 +64,56 @@ class BlockSizes(NamedTuple):
 
 
 def _tile_mask(
-    q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal: bool
+    q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal: bool,
+    q_len: int | None = None, kv_len: int | None = None,
 ):
-    """Elementwise [block_q, block_k] boolean mask for one tile pair."""
+    """Elementwise [block_q, block_k] boolean mask for one tile pair.
+
+    ``q_len``/``kv_len`` (static) add bounds predicates when the final
+    tile is partial: Pallas pads out-of-range blocks with UNDEFINED
+    memory, so garbage rows/columns (q beyond T in the dkv q-loop, kv
+    beyond S in the online softmax) must be masked out explicitly.  The
+    predicates compile away when the lengths divide the block sizes.
+    """
+    rows = q_idx * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+    cols = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
     mask = None
+
+    def conj(m, pred):
+        return pred if m is None else (m & pred)
+
     if causal:
-        rows = q_idx * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        cols = kv_idx * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = cols <= rows
+        mask = conj(mask, cols <= rows)
+    if q_len is not None and q_len % block_q != 0:
+        mask = conj(mask, rows < q_len)
+    if kv_len is not None and kv_len % block_k != 0:
+        mask = conj(mask, cols < kv_len)
     if q_seg is not None:
-        seg = (q_seg[:, None] == kv_seg[None, :]) & (kv_seg[None, :] != 0)
-        mask = seg if mask is None else (mask & seg)
+        mask = conj(
+            mask,
+            (q_seg[:, None] == kv_seg[None, :]) & (kv_seg[None, :] != 0),
+        )
     return mask
+
+
+def _zero_oob_rows(x, tile_idx, block: int, length: int):
+    """Zero rows of a [block, d] tile that fall beyond ``length``.
+
+    Partial-tile padding is undefined memory; zeroing it keeps NaN/Inf
+    garbage out of the matmuls (0 * NaN = NaN would otherwise leak through
+    rows/columns whose attention weight is exactly zero).  Compiles away
+    when ``length`` divides ``block``.
+    """
+    if length % block == 0:
+        return x
+    rows = tile_idx * block + jax.lax.broadcasted_iota(
+        jnp.int32, x.shape, 0
+    )
+    return jnp.where(rows < length, x, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -92,6 +126,7 @@ def _fwd_kernel(
     o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, scale: float, causal: bool, num_kv_blocks: int, group: int,
+    q_len: int, kv_len: int,
 ):
     # grid: (batch, KV head, q_block, kv_block); the GQA query group is
     # looped statically inside so each K/V tile is loaded once per group.
@@ -112,12 +147,12 @@ def _fwd_kernel(
 
     @pl.when(should_run)
     def _run():
-        k = k_ref[0, 0]  # [block_k, d]
-        v = v_ref[0, 0]
+        k = _zero_oob_rows(k_ref[0, 0], kv_idx, block_k, kv_len)
+        v = _zero_oob_rows(v_ref[0, 0], kv_idx, block_k, kv_len)
         q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
         kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
-        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
-        madd = None if mask is None else jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg,
+                          causal, q_len=q_len, kv_len=kv_len)
 
         for g in range(group):
             q = q_ref[0, g]  # [block_q, d]
@@ -126,8 +161,10 @@ def _fwd_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * (scale * LOG2E)
-            if madd is not None:
-                s = s + madd
+            if mask is not None:
+                # select, never add: partial-tile padding is undefined
+                # memory and can be NaN -- NaN + mask_value stays NaN
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_scratch[g]            # [block_q, RES_LANES], base 2
             l_prev = l_scratch[g]
@@ -179,7 +216,7 @@ def _fwd(
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, causal=causal, num_kv_blocks=nkv,
-            group=group,
+            group=group, q_len=T, kv_len=S,
         ),
         grid=(B, Hkv, nq, nkv),
         in_specs=in_specs,
@@ -215,6 +252,7 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_scratch,
     *, scale: float, causal: bool, num_kv_blocks: int, group: int,
+    q_len: int, kv_len: int,
 ):
     # grid: (batch, KV head, q_block, kv_block); GQA group looped inside.
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
@@ -231,12 +269,12 @@ def _bwd_dq_kernel(
 
     @pl.when(should_run)
     def _run():
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
+        k = _zero_oob_rows(k_ref[0, 0], kv_idx, block_k, kv_len)
+        v = _zero_oob_rows(v_ref[0, 0], kv_idx, block_k, kv_len)
         q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
         kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
-        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
-        madd = None if mask is None else jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg,
+                          causal, q_len=q_len, kv_len=kv_len)
 
         for g in range(group):
             q = q_ref[0, g]
@@ -248,8 +286,8 @@ def _bwd_dq_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * (scale * LOG2E)
-            if madd is not None:
-                s = s + madd
+            if mask is not None:
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
             p = jnp.exp2(s - lse2)                             # [bq, bk]
             # MXU matmuls take the native (bf16) inputs with f32
@@ -274,6 +312,7 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, scale: float, causal: bool, num_q_blocks: int, group: int,
+    q_len: int, kv_len: int,
 ):
     # grid: (batch, KV head, kv_block, q_block) -- q innermost; the GQA
     # group of query heads sharing this kv head is looped statically inside,
@@ -298,11 +337,14 @@ def _bwd_dkv_kernel(
         v = v_ref[0, 0]
         q_seg = q_seg_ref[0, 0] if q_seg_ref is not None else None
         kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
-        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal)
+        mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg,
+                          causal, q_len=q_len, kv_len=kv_len)
 
         for g in range(group):
-            q = q_ref[0, g]
-            do = do_ref[0, g]
+            # q/do rows beyond q_len are undefined padding: zero them so
+            # they cannot leak NaNs into the dk/dv accumulations
+            q = _zero_oob_rows(q_ref[0, g], q_idx, block_q, q_len)
+            do = _zero_oob_rows(do_ref[0, g], q_idx, block_q, q_len)
             lse2 = lse_ref[0, g][:, :1]  # base-2 units
             di = di_ref[0, g][:, :1]
 
@@ -311,9 +353,13 @@ def _bwd_dkv_kernel(
                 preferred_element_type=jnp.float32,
             ) * (scale * LOG2E)
             if mask is not None:
-                s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
             p = jnp.exp2(s - lse2)                               # [bq, bk]
+            if mask is not None:
+                # lse/di of padded q rows are garbage: select, don't trust
+                # exp2 underflow alone
+                p = jnp.where(mask, p, 0.0)
             # bf16 MXU inputs, f32 accumulation (see dq kernel note)
             dv_scratch[...] += jax.lax.dot_general(
                 p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -324,6 +370,8 @@ def _bwd_dkv_kernel(
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - di) * scale                           # [bq, bk]
+            if mask is not None:
+                ds = jnp.where(mask, ds, 0.0)
             dk_scratch[...] += jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -369,7 +417,7 @@ def _bwd(
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal, num_kv_blocks=nkv,
-            group=group,
+            group=group, q_len=T, kv_len=S,
         ),
         grid=(B, Hkv, nq, nkv),
         in_specs=in_specs,
@@ -402,7 +450,7 @@ def _bwd(
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal, num_q_blocks=nq,
-            group=group,
+            group=group, q_len=T, kv_len=S,
         ),
         grid=(B, Hkv, nkv, nq),
         in_specs=in_specs,

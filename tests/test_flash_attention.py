@@ -127,3 +127,35 @@ def test_non_divisible_lengths_padded_by_caller():
     out = flash_attention(q, k, v, causal=True, blocks=BLOCKS, interpret=True)
     ref = _oracle(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("T", [80, 100])
+def test_partial_tiles_forward_and_backward(T):
+    """Non-block-multiple T: the final tile is partial and its padding is
+    UNDEFINED memory on real TPUs (regression: the GRPO P+N=1280 batch at
+    block 512 produced NaN logps on hardware -- garbage K rows leaked
+    through the additive mask).  Interpret mode cannot inject garbage, but
+    this pins the bounds-mask/zeroing logic to oracle parity for fwd, dq,
+    dk, dv at partial tiles."""
+    B, H, Hkv, D = 2, 2, 1, 32
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), B, H, Hkv, T, D)
+
+    out = flash_attention(q, k, v, causal=True, blocks=BLOCKS, interpret=True)
+    ref = _oracle(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=True, blocks=BLOCKS,
+                            interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_oracle(q, k, v, causal=True).astype(jnp.float32) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("q k v".split(), g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"partial-tile grad mismatch for d{name}")
