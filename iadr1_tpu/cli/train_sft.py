@@ -260,7 +260,7 @@ def main(argv=None):
     from iadr1_tpu.data.template import get_template
     from iadr1_tpu.models.registry import bundle_from_hf_config, bundle_from_pretrained
     from iadr1_tpu.models.params_io import load_safetensors_path
-    from iadr1_tpu.train import OptimizerConfig, make_optimizer, make_sft_step
+    from iadr1_tpu.train import OptimizerConfig, make_optimizer
     from iadr1_tpu.train.checkpoint import CheckpointManager
     from iadr1_tpu.train.loop import LoopConfig, batch_iterator, run_sft_loop
     from iadr1_tpu.train.state import create_sharded_state
@@ -328,7 +328,24 @@ def main(argv=None):
         opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
     optimizer, schedule = make_optimizer(opt_cfg)
     state = create_sharded_state(params, optimizer)
-    step = make_sft_step(bundle.forward, optimizer, schedule)
+    # chunked CE: never materializes [B,T,V] logits (the batch-size limiter
+    # at vocab 152k); MoE bundles add the router load-balancing aux loss
+    # (reference model_utils/moe.py output_router_logits wiring)
+    from iadr1_tpu.train.sft import make_chunked_sft_step
+
+    aux_coef = (bundle.cfg.router_aux_loss_coef
+                if bundle.family == "qwen2_moe" else 0.0)
+    if aux_coef:
+        def hidden_fn(params, batch):
+            h, _cache, aux = bundle.apply(params, batch, remat=True,
+                                          return_aux=True)
+            return h, aux
+    else:
+        hidden_fn = bundle.hidden_fn
+    step = make_chunked_sft_step(
+        hidden_fn, bundle.head_kernel_fn, optimizer, schedule,
+        chunk_size=1024, aux_loss_coef=aux_coef,
+    )
 
     ckpt = CheckpointManager(
         os.path.join(loop_cfg.output_dir, "checkpoints"),

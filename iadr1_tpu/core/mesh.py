@@ -41,6 +41,9 @@ DEFAULT_RULES: dict[str, str | None] = {
     "head_dim": None,
     "patch": None,
     "norm": None,
+    # MoE expert axis rides the tp submesh (expert parallelism: each tp
+    # shard holds E/tp experts; the dispatch all-to-all is XLA's to insert)
+    "expert": "tp",
 }
 
 

@@ -188,7 +188,7 @@ def _lora_dense(x, kernel, bias, ab, scale):
     return y
 
 
-def _layer(
+def _attn_block(
     cfg: Qwen2Config,
     h: jax.Array,
     layer_params: dict,
@@ -201,6 +201,9 @@ def _layer(
     layer_lora: dict | None = None,
     lora_scale: float = 1.0,
 ):
+    """Pre-norm attention sub-block + residual; shared by the dense and
+    MoE decoder layers.  Returns (h, new_cache_kv, la) where ``la`` is the
+    layer-LoRA path accessor for the caller's MLP half."""
     B, T, _ = h.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     attn_p = layer_params["attn"]
@@ -244,8 +247,27 @@ def _layer(
     attn_out = _lora_dense(attn_out.reshape(B, T, H * D),
                            attn_p["o"]["kernel"], None,
                            la("attn", "o", "kernel"), lora_scale)
-    h = h + attn_out
+    return h + attn_out, new_cache_kv, la
 
+
+def _layer(
+    cfg: Qwen2Config,
+    h: jax.Array,
+    layer_params: dict,
+    cos: jax.Array,
+    sin: jax.Array,
+    cache_kv: tuple[jax.Array, jax.Array] | None,
+    write_idx: jax.Array | None,
+    attention_fn: Callable,
+    attend_fresh: bool = False,
+    layer_lora: dict | None = None,
+    lora_scale: float = 1.0,
+):
+    h, new_cache_kv, la = _attn_block(
+        cfg, h, layer_params, cos, sin, cache_kv, write_idx, attention_fn,
+        attend_fresh=attend_fresh, layer_lora=layer_lora,
+        lora_scale=lora_scale,
+    )
     x = rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps)
     mlp_p = layer_params["mlp"]
     gate = _lora_dense(x, mlp_p["gate"]["kernel"], None,
@@ -255,7 +277,7 @@ def _layer(
     down_in = jax.nn.silu(gate) * up
     h = h + _lora_dense(down_in, mlp_p["down"]["kernel"], None,
                         la("mlp", "down", "kernel"), lora_scale)
-    return h, new_cache_kv
+    return h, new_cache_kv, jnp.zeros((), jnp.float32)
 
 
 def apply(
@@ -274,8 +296,15 @@ def apply(
     remat: bool = False,
     lora: dict | None = None,
     lora_scale: float = 1.0,
+    layer_fn: Callable | None = None,
+    return_aux: bool = False,
 ) -> tuple[jax.Array, dict | None]:
-    """Run the decoder stack; returns (hidden_states [B,T,hid], new_cache).
+    """Run the decoder stack; returns (hidden_states [B,T,hid], new_cache)
+    -- or (hidden, new_cache, aux_loss) with ``return_aux`` (MoE routers).
+
+    ``layer_fn`` swaps the decoder layer (default the dense _layer; the
+    MoE family passes its sparse layer) -- same signature, returning
+    (h, new_cache_kv, aux_loss_scalar).
 
     ``position_ids``: [B, T] for plain RoPE or [3, B, T] when
     ``cfg.mrope_section`` is set (M-RoPE).  ``inputs_embeds`` overrides token
@@ -372,18 +401,21 @@ def apply(
                 causal=True,
             )
 
-    def scan_body(h, xs):
+    body_layer = layer_fn if layer_fn is not None else _layer
+
+    def scan_body(carry, xs):
+        h, aux_total = carry
         layer_params, layer_lora, layer_cache = xs
         cache_kv = (
             (layer_cache["k"], layer_cache["v"]) if layer_cache is not None else None
         )
-        h, new_kv = _layer(
+        h, new_kv, aux = body_layer(
             cfg, h, layer_params, cos, sin, cache_kv, write_idx, attn,
             attend_fresh=attend_fresh,
             layer_lora=layer_lora, lora_scale=lora_scale,
         )
         ys = {"k": new_kv[0], "v": new_kv[1]} if new_kv is not None else None
-        return h, ys
+        return (h, aux_total + aux), ys
 
     # Remat modes:
     # * True / "save_flash": (out, lse) are checkpoint_named inside the
@@ -414,7 +446,9 @@ def apply(
     # pytrees and vanish from scan leaves); factors are scan-stacked like
     # the kernels themselves
     layer_lora = lora.get("layers", lora) if lora is not None else None
-    h, new_kv = jax.lax.scan(body, h, (params["layers"], layer_lora, layer_cache))
+    (h, aux_total), new_kv = jax.lax.scan(
+        body, (h, jnp.zeros((), jnp.float32)),
+        (params["layers"], layer_lora, layer_cache))
 
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
 
@@ -426,6 +460,8 @@ def apply(
             "segment_ids": kv_segments,
             "write_idx": write_idx + T,
         }
+    if return_aux:
+        return h, new_cache, aux_total / max(cfg.num_hidden_layers, 1)
     return h, new_cache
 
 

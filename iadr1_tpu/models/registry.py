@@ -225,6 +225,51 @@ def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
     )
 
 
+def make_qwen2_moe_bundle(hf_config: dict, attention: str = "auto",
+                          precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
+    """Qwen2-MoE (Qwen1.5-MoE-A2.7B): sparse-MoE decoder
+    (models/qwen2_moe.py; reference counterpart model_utils/moe.py +
+    transformers Qwen2MoeForCausalLM)."""
+    from iadr1_tpu.models import qwen2_moe
+
+    cfg = qwen2_moe.config_from_hf(hf_config)
+    attn = default_attention(attention)
+    decode_attn = default_decode_attention(attention)
+
+    def forward(params, batch, remat=True):
+        h, _ = qwen2_moe.apply(
+            params, cfg, batch["input_ids"],
+            position_ids=batch["position_ids"],
+            segment_ids=batch.get("segment_ids"),
+            precision=precision, attention_fn=attn, remat=remat,
+        )
+        return qwen2_moe.logits(params, cfg, h, precision)
+
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0, return_aux=False):
+        return qwen2_moe.apply(
+            params, cfg, batch["input_ids"],
+            position_ids=batch["position_ids"],
+            segment_ids=batch.get("segment_ids"),
+            cache=cache, cache_mode=cache_mode, precision=precision,
+            attention_fn=attn, decode_attention_fn=decode_attn, remat=remat,
+            lora=lora, lora_scale=lora_scale, return_aux=return_aux,
+        )
+
+    return ModelBundle(
+        family="qwen2_moe", cfg=cfg, multimodal=False,
+        init_params=lambda key, dtype=jnp.float32: qwen2_moe.init_params(
+            key, cfg, dtype),
+        convert_hf=lambda state, dtype=jnp.float32: qwen2_moe.convert_hf(
+            state, cfg, dtype=dtype),
+        logical_axes=lambda: qwen2_moe.logical_axes(cfg),
+        forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: qwen2_moe.logits(params, cfg, h, precision),
+        template="chatml",
+    )
+
+
 # ---------------------------------------------------------------------------
 # qwen2-vl
 # ---------------------------------------------------------------------------
@@ -804,6 +849,8 @@ def make_internvl_bundle(hf_config: dict, attention: str = "auto",
 
 FAMILY_BUILDERS = {
     "Qwen2ForCausalLM": make_qwen2_bundle,
+    "Qwen2MoeForCausalLM": make_qwen2_moe_bundle,
+    "qwen2_moe": make_qwen2_moe_bundle,
     "Qwen2VLForConditionalGeneration": make_qwen2_vl_bundle,
     "Qwen2_5_VLForConditionalGeneration": make_qwen25_vl_bundle,
     "LlavaOnevisionForConditionalGeneration": make_llava_onevision_bundle,

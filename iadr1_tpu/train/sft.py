@@ -114,15 +114,28 @@ def make_chunked_sft_step(
     schedule=None,
     donate: bool = True,
     chunk_size: int = 512,
+    aux_loss_coef: float = 0.0,
 ):
-    """SFT step with the memory-efficient chunked CE loss."""
+    """SFT step with the memory-efficient chunked CE loss.
+
+    ``aux_loss_coef`` > 0 expects ``hidden_fn`` to return (hidden, aux) --
+    MoE router load-balancing loss (reference model_utils/moe.py
+    output_router_logits + router_aux_loss_coef)."""
 
     def step(state, batch):
         def loss_fn(params):
-            hidden = hidden_fn(params, batch)
-            return chunked_sft_loss(
+            out = hidden_fn(params, batch)
+            if aux_loss_coef:
+                hidden, aux = out
+            else:
+                hidden, aux = out, 0.0
+            loss, metrics = chunked_sft_loss(
                 hidden, head_kernel_fn(params), batch["labels"], chunk_size
             )
+            if aux_loss_coef:
+                loss = loss + aux_loss_coef * aux
+                metrics = {**metrics, "aux_loss": aux, "loss": loss}
+            return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

@@ -78,6 +78,28 @@ def build_tiny_vlm_checkpoint(dirpath: str) -> str:
     return dirpath
 
 
+def build_tiny_moe_checkpoint(dirpath: str) -> str:
+    """Write a tiny Qwen2-MoE HF checkpoint (config+safetensors+tokenizer)."""
+    import torch
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    tok = tiny_qwen_tokenizer()
+    tok.save_pretrained(dirpath)
+    torch.manual_seed(0)
+    cfg = Qwen2MoeConfig(
+        vocab_size=max(tok.vocab_size, 600), hidden_size=64,
+        intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-6, rope_theta=10000.0, tie_word_embeddings=True,
+        max_position_embeddings=512,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
+        shared_expert_intermediate_size=80, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+    )
+    Qwen2MoeForCausalLM(cfg).save_pretrained(dirpath)
+    return dirpath
+
+
 def build_iad_sft_dataset(dirpath) -> tuple[str, str]:
     """Synthetic Expert-AD-style sharegpt JSON + images -> (json, img_dir)."""
     import os
