@@ -26,6 +26,7 @@ All softmax statistics are float32; masked logits use -0.7*f32max (never
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -61,6 +62,16 @@ class BlockSizes(NamedTuple):
     # GQA group 7
     block_q_dq: int = 256
     block_k_dq: int = 512
+
+
+def default_blocks() -> BlockSizes:
+    """BlockSizes from $IADR1_FLASH_BLOCKS ("bq,bk,bq_dkv,bk_dkv,bq_dq,
+    bk_dq") when set -- the hardware-tuning knob for odd-shaped chips --
+    else the measured v5e defaults."""
+    env = os.environ.get("IADR1_FLASH_BLOCKS")
+    if env:
+        return BlockSizes(*[int(x) for x in env.split(",")])
+    return BlockSizes()
 
 
 def _tile_mask(
@@ -576,7 +587,7 @@ def flash_attention_with_lse(
             if k.shape[2] == q.shape[2]
             else jnp.ones((k.shape[0], k.shape[2]), jnp.int32)
         )
-    blocks = blocks or BlockSizes()
+    blocks = blocks or default_blocks()
     return _flash(
         q, k, v, segment_ids, kv_segment_ids, scale, causal, blocks, interpret
     )
