@@ -328,9 +328,9 @@ class GRPOTrainer:
     # --- prompt collation --------------------------------------------------
 
     def _collate_prompts(self, examples: Sequence[dict]) -> dict:
-        """Left-pad tokenized prompts to max_prompt_length, repeated G times
-        consecutively."""
-        G = self.cfg.num_generations
+        """Left-pad tokenized prompts to max_prompt_length -- one row per
+        UNIQUE prompt; the engine's grouped generate repeats the prefilled
+        KV cache G ways (prefix caching, sc_grpo_trainer.py:351)."""
         P = self.cfg.max_prompt_length
         pad = self.tokenizer.pad_token_id or self.tokenizer.eos_token_id
         img_id = getattr(self.bundle.cfg, "image_token_id", None)
@@ -347,7 +347,7 @@ class GRPOTrainer:
                     f"tokens exceeds max_prompt_length={P}; raise "
                     "max_prompt_length or lower max_pixels"
                 )
-            ids_list.extend([ids] * G)
+            ids_list.append(ids)
         B = len(ids_list)
         input_ids = np.full((B, P), pad, np.int32)
         mask = np.zeros((B, P), np.int32)
@@ -363,16 +363,23 @@ class GRPOTrainer:
         """examples: [{"prompt_ids": [...], "solution": str, ...extras}]."""
         G = self.cfg.num_generations
         if self.prompt_collator is not None:
+            # unique-prompt batch for the prefix-cached rollout (vision
+            # tower runs once per prompt); G-repeated batch for the update
+            # forward, whose scatter plans need one row per rollout
+            rollout_batch = self.prompt_collator(examples, 1)
             batch = self.prompt_collator(examples, G)
         else:
-            batch = self._collate_prompts(examples)
+            rollout_batch = self._collate_prompts(examples)
+            batch = rollout_batch
         self._rng, sub = jax.random.split(self._rng)
         if self._lora_mode:
             rollout = self.engine.generate(
-                self.ref_params, batch, sub, lora=self.state.params
+                self.ref_params, rollout_batch, sub, lora=self.state.params,
+                group_size=G,
             )
         else:
-            rollout = self.engine.generate(self.state.params, batch, sub)
+            rollout = self.engine.generate(self.state.params, rollout_batch,
+                                           sub, group_size=G)
 
         completion_ids = np.asarray(rollout["completion_ids"])
         completion_mask = np.asarray(rollout["completion_mask"])

@@ -76,23 +76,30 @@ class RolloutEngine:
                               sampling=sampling, max_len=max_len,
                               cache_dtype=cache_dtype,
                               lora_scale=lora_scale),
-            static_argnames=(),
+            static_argnames=("group_size",),
         )
 
-    def generate(self, params, batch, rng, lora=None) -> dict:
+    def generate(self, params, batch, rng, lora=None,
+                 group_size: int = 1) -> dict:
         """batch: left-padded prompt arrays (+ optional vision arrays).
 
         ``lora``: optional factored-adapter pytree applied on top of
         ``params`` (base + LoRA serving without materializing merged
-        weights).  Returns {"completion_ids": [B, max_new],
-        "completion_mask": ..., "prompt_ids": ..., "prompt_mask": ...}.
+        weights).  ``group_size`` G > 1 is the prefix-cache analogue of
+        vLLM's enable_prefix_caching under GRPO (sc_grpo_trainer.py:351):
+        each prompt is prefilled ONCE (vision tower included) and its KV
+        cache is repeated G ways before decoding G independent samples --
+        prefill cost drops by G.  Returns {"completion_ids"
+        [B*G, max_new], "completion_mask": ..., "prompt_ids": ...,
+        "prompt_mask": ...} with prompts repeated G times consecutively.
         """
-        return self._generate(params, batch, rng, lora)
+        return self._generate(params, batch, rng, lora,
+                              group_size=group_size)
 
 
 def _generate_impl(params, batch, rng, lora=None, *, bundle,
                    sampling: SamplingConfig, max_len: int, cache_dtype,
-                   lora_scale: float = 1.0):
+                   lora_scale: float = 1.0, group_size: int = 1):
     from iadr1_tpu.models import qwen2
 
     lora_kw = {"lora": lora, "lora_scale": lora_scale} if lora is not None else {}
@@ -126,6 +133,23 @@ def _generate_impl(params, batch, rng, lora=None, *, bundle,
     logits_fn = lambda h: bundle.logits_fn(params, h)
 
     last_logits = logits_fn(hidden[:, -1:, :])[:, 0]          # [B, V]
+
+    if group_size > 1:
+        # prefix caching: the prompt (and its vision tower pass) was
+        # prefilled once; fan the KV cache out G ways for G samples
+        G = group_size
+        cache = {
+            "k": jnp.repeat(cache["k"], G, axis=1),
+            "v": jnp.repeat(cache["v"], G, axis=1),
+            "segment_ids": jnp.repeat(cache["segment_ids"], G, axis=0),
+            "write_idx": cache["write_idx"],
+        }
+        last_logits = jnp.repeat(last_logits, G, axis=0)
+        deltas = jnp.repeat(deltas, G, axis=0)
+        input_ids = jnp.repeat(input_ids, G, axis=0)
+        attn_mask = jnp.repeat(attn_mask, G, axis=0)
+        B = B * G
+
     rng, sub = jax.random.split(rng)
     first_token = sample_token(sub, last_logits, sampling)
 

@@ -137,3 +137,49 @@ def test_top_p_masking_math():
         counts[int(t[0])] += 1
     assert counts[2] == 0 and counts[3] == 0
     assert counts[0] > counts[1] > 0
+
+
+def test_grouped_prefix_cached_generate(setup):
+    """group_size=G (the vLLM prefix-caching analogue): one prefill per
+    unique prompt, KV cache fanned out G ways.  Greedy grouped decode must
+    equal the ungrouped decode of the repeated batch exactly."""
+    _, bundle, params = setup
+    B, P, N, G = 2, 8, 6, 3
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, TINY["vocab_size"], (B, P))
+    mask = np.ones((B, P), np.int64)
+    mask[1, :3] = 0  # one left-padded row
+    engine = RolloutEngine(
+        bundle, SamplingConfig(max_new_tokens=N, temperature=0.0,
+                               eos_token_id=-1, pad_token_id=0),
+        max_len=P + N, cache_dtype=jnp.float32,
+    )
+    unique = {"input_ids": jnp.asarray(ids, jnp.int32),
+              "attention_mask": jnp.asarray(mask, jnp.int32)}
+    grouped = engine.generate(params, unique, jax.random.PRNGKey(0),
+                              group_size=G)
+    # prompts repeat consecutively
+    np.testing.assert_array_equal(
+        np.asarray(grouped["prompt_ids"]), np.repeat(ids, G, axis=0))
+    np.testing.assert_array_equal(
+        np.asarray(grouped["prompt_mask"]), np.repeat(mask, G, axis=0))
+    # greedy: grouped output == ungrouped output of the repeated batch
+    repeated = {"input_ids": jnp.asarray(np.repeat(ids, G, 0), jnp.int32),
+                "attention_mask": jnp.asarray(np.repeat(mask, G, 0),
+                                              jnp.int32)}
+    plain = engine.generate(params, repeated, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(grouped["completion_ids"]),
+        np.asarray(plain["completion_ids"]))
+
+    # sampled: rows within a group must differ (independent samples)
+    engine_s = RolloutEngine(
+        bundle, SamplingConfig(max_new_tokens=N, temperature=1.0,
+                               top_k=0, top_p=1.0,
+                               eos_token_id=-1, pad_token_id=0),
+        max_len=P + N, cache_dtype=jnp.float32,
+    )
+    sampled = np.asarray(engine_s.generate(
+        params, unique, jax.random.PRNGKey(5),
+        group_size=G)["completion_ids"])
+    assert (sampled[0] != sampled[1]).any() or (sampled[1] != sampled[2]).any()
