@@ -65,6 +65,9 @@ class DataSection:
     patch_budget: int = 4096
     min_pixels: int = 56 * 56
     max_pixels: int = 480000
+    # chunk of the chunked-CE LM-head scan; 4096 measured +0.5pt MFU on
+    # v5e at vocab 152k (one [chunk, V] f32 block of transient HBM)
+    ce_chunk: int = 1024
 
 
 @dataclasses.dataclass
@@ -344,7 +347,7 @@ def main(argv=None):
         hidden_fn = bundle.hidden_fn
     step = make_chunked_sft_step(
         hidden_fn, bundle.head_kernel_fn, optimizer, schedule,
-        chunk_size=1024, aux_loss_coef=aux_coef,
+        chunk_size=cfg.data.ce_chunk, aux_loss_coef=aux_coef,
     )
 
     ckpt = CheckpointManager(
