@@ -62,6 +62,11 @@ class BlockSizes(NamedTuple):
     # GQA group 7
     block_q_dq: int = 256
     block_k_dq: int = 512
+    # dq grid over q heads (group=1 per cell): k/v re-fetched per q head
+    # (cheap -- HBM traffic is tiny next to the s/p compute) but the
+    # per-cell VMEM footprint shrinks by the group factor, admitting
+    # larger q blocks
+    dq_per_qhead: bool = False
 
 
 def default_blocks() -> BlockSizes:
@@ -409,16 +414,30 @@ def _bwd(
     # saved buffer) also rebases it: p = exp2(s*log2e - lse*log2e)
     lse = jnp.broadcast_to((lse * LOG2E)[..., None], (B, H, T, RES_LANES))
 
-    # --- dq: grid over KV heads, GQA group looped inside --------------------
+    # --- dq ------------------------------------------------------------------
+    # default: grid over KV heads, GQA group looped inside (K/V loaded once
+    # per group).  dq_per_qhead: grid over q heads with group=1 per cell --
+    # K/V re-fetched per q head, but the per-cell VMEM footprint shrinks by
+    # the group factor so larger q blocks fit.
     bq, bk = min(blocks.block_q_dq, T), min(blocks.block_k_dq, S)
     nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
+    if blocks.dq_per_qhead:
+        grid = (B, H, nq, nkv)
+        group_dq = 1
+        kv_map = lambda b, h, q_, kv: (b, h // group, kv, 0)
+    else:
+        grid = (B, Hkv, nq, nkv)
+        group_dq = group
+        kv_map = lambda b, h, q_, kv: (b, h, kv, 0)
     in_specs = [
-        pl.BlockSpec((1, group, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h, kv, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h, kv, 0)),
-        pl.BlockSpec((1, group, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, group, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
-        pl.BlockSpec((1, group, bq, RES_LANES), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, group_dq, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, 1, bk, D), kv_map),
+        pl.BlockSpec((1, 1, bk, D), kv_map),
+        pl.BlockSpec((1, group_dq, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, group_dq, bq, RES_LANES),
+                     lambda b, h, q_, kv: (b, h, q_, 0)),
+        pl.BlockSpec((1, group_dq, bq, RES_LANES),
+                     lambda b, h, q_, kv: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bq), lambda b, h, q_, kv: (b, 0, q_)),
         pl.BlockSpec((1, 1, bk), lambda b, h, q_, kv: (b, 0, kv)),
     ]
@@ -428,14 +447,14 @@ def _bwd(
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal, num_kv_blocks=nkv,
-            group=group, q_len=T, kv_len=S,
+            group=group_dq, q_len=T, kv_len=S,
         ),
-        grid=(B, Hkv, nq, nkv),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, group, bq, D),
+        out_specs=pl.BlockSpec((1, group_dq, bq, D),
                                lambda b, h, q_, kv: (b, h, q_, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((group, bq, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((group_dq, bq, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
