@@ -36,7 +36,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from iadr1_tpu.kernels.flash_attention import DEFAULT_MASK_VALUE, RES_LANES
+from iadr1_tpu.kernels.flash_attention import (
+    DEFAULT_MASK_VALUE,
+    LOG2E,
+    RES_LANES,
+    _zero_oob_rows,
+)
 
 
 def _decode_kernel(
@@ -44,7 +49,7 @@ def _decode_kernel(
     q_ref, k_ref, v_ref, seg_ref,
     o_ref,
     m_scratch, l_scratch, acc_scratch,
-    *, scale: float, num_kv_blocks: int,
+    *, scale: float, num_kv_blocks: int, kv_len: int,
 ):
     kv_idx = pl.program_id(2)
     block_k = k_ref.shape[2]
@@ -59,26 +64,31 @@ def _decode_kernel(
     @pl.when(kv_idx * block_k < length)
     def _run():
         q = q_ref[0, 0]                      # [G, D]
-        k = k_ref[0, 0]                      # [block_k, D]
-        v = v_ref[0, 0]
+        # the final cache block is partial when max_len % block_k != 0:
+        # its padding is UNDEFINED memory (can be NaN) -- zero it so
+        # 0 * NaN cannot leak through the p @ v matmul (see
+        # flash_attention.py bounds notes)
+        k = _zero_oob_rows(k_ref[0, 0], kv_idx, block_k, kv_len)
+        v = _zero_oob_rows(v_ref[0, 0], kv_idx, block_k, kv_len)
         seg = seg_ref[0, 0]                  # [block_k]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                            # [G, block_k]
+        ) * (scale * LOG2E)                  # [G, block_k], base-2 logits
         cols = kv_idx * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1
         )
         valid = (cols < length) & (seg[None, :] != 0)
-        s = s + jnp.where(valid, 0.0, DEFAULT_MASK_VALUE)
+        # select, never add: NaN + mask_value stays NaN
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scratch[...]              # [G, RES_LANES]
         l_prev = l_scratch[...]
         m_curr = jnp.max(s, axis=1)[:, None]
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - m_next[:, :1])
         l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scratch[...] = m_next
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
@@ -148,7 +158,8 @@ def decode_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, scale=scale, num_kv_blocks=nkv),
+        functools.partial(_decode_kernel, scale=scale, num_kv_blocks=nkv,
+                          kv_len=S),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -84,3 +84,23 @@ def test_decode_under_jit_traced_length():
                  jnp.asarray(seg), jnp.int32(length))
         ref = _oracle(q, k, v, seg, length)
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_decode_partial_final_block():
+    """Cache length not a multiple of block_k: the final Pallas block is
+    partial and its padding is undefined on hardware (regression: same
+    class as the training-kernel partial-tile NaN).  Oracle parity with
+    S=40, block 16."""
+    B, Hkv, G, S, D = 2, 2, 2, 40, 32
+    H = Hkv * G
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    seg = np.ones((B, S), np.int32)
+    for length in (7, 33, 40):
+        out = decode_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(seg), jnp.int32(length), block_k=16, interpret=True)
+        ref = _oracle(q, k, v, seg, length)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
