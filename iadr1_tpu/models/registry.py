@@ -46,6 +46,10 @@ class ModelBundle:
     # the placeholder expands to.
     preprocess_image: Callable | None = None
     template: str = "chatml"
+    # shared-prompt GRPO scoring (models/shared_prompt.py): (params, batch,
+    # group_size, remat=..., lora=..., lora_scale=...) -> pred hidden
+    # [n*G, N, hid]; None when the family has no factored path
+    shared_pred_fn: Callable | None = None
 
     # memory-efficient training path: final hidden states + LM-head kernel
     # for the chunked CE loss (train/sft.py chunked_sft_loss); extra kwargs
@@ -213,6 +217,18 @@ def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
 
     from iadr1_tpu.models.params_io import convert_qwen2
 
+    use_flash = (attention == "flash"
+                 or (attention == "auto" and jax.default_backend() == "tpu"))
+
+    def shared_pred(params, batch, group_size, remat=True, lora=None,
+                    lora_scale=1.0):
+        from iadr1_tpu.models.shared_prompt import shared_prompt_pred_hidden
+
+        return shared_prompt_pred_hidden(
+            params, cfg, batch, group_size, precision=precision,
+            use_flash=use_flash, remat=remat, lora=lora,
+            lora_scale=lora_scale)
+
     return ModelBundle(
         family="qwen2", cfg=cfg, multimodal=False,
         init_params=lambda key, dtype=jnp.float32: qwen2.init_params(key, cfg, dtype),
@@ -222,6 +238,7 @@ def make_qwen2_bundle(hf_config: dict, attention: str = "auto",
         apply=apply,
         logits_fn=lambda params, h: qwen2.logits(params, cfg, h, precision),
         template="chatml",
+        shared_pred_fn=shared_pred,
     )
 
 

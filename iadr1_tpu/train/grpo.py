@@ -56,6 +56,11 @@ class GRPOConfig:
     # "save_flash" keeps flash (out,lse) as remat residuals (faster);
     # "full" recomputes them in backward (memory-tight large-model mode)
     remat: str = "save_flash"
+    # factor the update forward so unique prompts run once and completions
+    # attend shared prompt KV (models/shared_prompt.py; DualKV-style) --
+    # prompt-side FLOPs drop by G.  Auto-disabled when the bundle has no
+    # shared path (VLM collator mode).
+    shared_prompt_scoring: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +139,8 @@ def bundle_score_fn(bundle, remat: bool = True):
 
 
 def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
-                          schedule=None, ref_score_fn=None):
+                          schedule=None, ref_score_fn=None,
+                          logps_fn=None, ref_logps_fn=None):
     """(state, ref_params, batch) -> (new_state, metrics).
 
     ``score_fn(params, batch, aux) -> (hidden, head_kernel)`` (see
@@ -146,25 +152,31 @@ def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
     PEFT-ref-None path, sc_grpo_trainer.py:153-182): pass the base as
     ``ref_params``.
 
-    batch fields: input_ids [B, P+N], segment_ids, position_ids,
-    completion_ids [B, N], completion_mask [B, N], advantages [B],
-    prompt_len (static int under jit via closure -- pass in batch as a
-    concrete array-free int).
+    ``logps_fn(params, batch, aux) -> [B, N]`` (and ``ref_logps_fn``)
+    override the whole scoring path -- the shared-prompt factorization
+    uses this (models/shared_prompt.py).
+
+    batch fields (dense path): input_ids [B, P+N], segment_ids,
+    position_ids, completion_ids [B, N], completion_mask [B, N],
+    advantages [B], prompt_len (static int).
     """
     if ref_score_fn is None:
         ref_score_fn = score_fn
+    if logps_fn is None:
+        def logps_fn(params, batch, aux):
+            return completion_logps(score_fn, params, batch,
+                                    cfg.logp_chunk_size, aux=aux)
+    if ref_logps_fn is None:
+        def ref_logps_fn(ref_params, batch, aux):
+            return completion_logps(ref_score_fn, ref_params, batch,
+                                    cfg.logp_chunk_size, aux=aux)
 
     def step(state, ref_params, batch):
         completion_mask = batch["completion_mask"].astype(jnp.float32)
 
         def loss_fn(params):
-            logps = completion_logps(
-                score_fn, params, batch, cfg.logp_chunk_size, aux=ref_params
-            )
-            ref_logps = completion_logps(
-                ref_score_fn, ref_params, batch, cfg.logp_chunk_size,
-                aux=ref_params,
-            )
+            logps = logps_fn(params, batch, ref_params)
+            ref_logps = ref_logps_fn(ref_params, batch, ref_params)
             ref_logps = jax.lax.stop_gradient(ref_logps)
 
             # k3 KL estimator (sc_grpo_trainer.py:746)
@@ -283,16 +295,52 @@ class GRPOTrainer:
             ref_score = lambda base, batch, _aux: bundle_score_fn(
                 bundle, remat=remat
             )(base, batch)
+            logps_fn = ref_logps_fn = None
+            self._shared = (cfg.shared_prompt_scoring
+                            and bundle.shared_pred_fn is not None
+                            and prompt_collator is None)
+            if self._shared:
+                G = cfg.num_generations
+
+                def logps_fn(lora_params, batch, base):
+                    pred = bundle.shared_pred_fn(
+                        base, batch, G, remat=remat, lora=lora_params,
+                        lora_scale=scale)
+                    return chunked_token_logps(
+                        pred, bundle.head_kernel_fn(base),
+                        batch["completion_ids"], cfg.logp_chunk_size)
+
+                def ref_logps_fn(base, batch, _aux):
+                    pred = bundle.shared_pred_fn(base, batch, G, remat=remat)
+                    return chunked_token_logps(
+                        pred, bundle.head_kernel_fn(base),
+                        batch["completion_ids"], cfg.logp_chunk_size)
+
             self.update_step = make_grpo_update_step(
-                score, optimizer, cfg, schedule, ref_score_fn=ref_score
+                score, optimizer, cfg, schedule, ref_score_fn=ref_score,
+                logps_fn=logps_fn, ref_logps_fn=ref_logps_fn,
             )
         else:
             self.ref_params = ref_params
             self._lora_mode = False
             remat = True if cfg.remat == "save_flash" else cfg.remat
+            logps_fn = None
+            self._shared = (cfg.shared_prompt_scoring
+                            and bundle.shared_pred_fn is not None
+                            and prompt_collator is None)
+            if self._shared:
+                G = cfg.num_generations
+
+                def logps_fn(params, batch, _aux):
+                    pred = bundle.shared_pred_fn(params, batch, G,
+                                                 remat=remat)
+                    return chunked_token_logps(
+                        pred, bundle.head_kernel_fn(params),
+                        batch["completion_ids"], cfg.logp_chunk_size)
+
             self.update_step = make_grpo_update_step(
                 bundle_score_fn(bundle, remat=remat), optimizer, cfg,
-                schedule,
+                schedule, logps_fn=logps_fn, ref_logps_fn=logps_fn,
             )
         self._rng = jax.random.PRNGKey(0)
         self.metrics_history: list[dict] = []
@@ -410,10 +458,42 @@ class GRPOTrainer:
         # assemble update batch (static shapes)
         prompt_ids = np.asarray(rollout["prompt_ids"])
         prompt_mask = np.asarray(rollout["prompt_mask"])
-        full_ids = np.concatenate([prompt_ids, completion_ids], axis=1)
-        full_mask = np.concatenate([prompt_mask, completion_mask], axis=1)
         B, P = prompt_ids.shape
         N = completion_ids.shape[1]
+        if self._shared:
+            # factored update: unique prompts once, completions per rollout
+            # attending the shared prompt KV (models/shared_prompt.py)
+            pu_ids = prompt_ids[::G]
+            pu_mask = prompt_mask[::G]
+            pu_pos = np.clip(np.cumsum(pu_mask, axis=1) - 1, 0, None)
+            plen = pu_mask.sum(axis=1)
+            comp_pos = (np.repeat(plen, G)[:, None]
+                        + np.arange(N)[None, :]).astype(np.int32)
+            update_batch = {
+                "prompt_ids": jnp.asarray(pu_ids, jnp.int32),
+                "prompt_segments": jnp.asarray(pu_mask, jnp.int32),
+                "prompt_positions": jnp.asarray(pu_pos, jnp.int32),
+                "completion_ids": jnp.asarray(completion_ids, jnp.int32),
+                "completion_mask": jnp.asarray(completion_mask, jnp.int32),
+                "completion_positions": jnp.asarray(comp_pos),
+                "advantages": jnp.asarray(advantages),
+            }
+            self.state, metrics = self.update_step(
+                self.state, self.ref_params, update_batch
+            )
+            out = {k: float(v) for k, v in metrics.items()}
+            out["ref_synced"] = float(self.maybe_sync_ref())
+            out["reward"] = float(rewards.mean())
+            out["reward_std"] = float(
+                rewards.reshape(-1, G).std(axis=1, ddof=1).mean()
+            )
+            for i, fn in enumerate(self.reward_funcs):
+                out[f"rewards/{fn.__name__}"] = float(
+                    rewards_per_func[:, i].mean())
+            self.metrics_history.append(out)
+            return out
+        full_ids = np.concatenate([prompt_ids, completion_ids], axis=1)
+        full_mask = np.concatenate([prompt_mask, completion_mask], axis=1)
         if "position_ids" in batch:  # M-RoPE: prompt grids + delta positions
             prompt_pos = np.asarray(batch["position_ids"])       # [3, B, P]
             deltas = np.asarray(batch["mrope_deltas"])           # [B]
