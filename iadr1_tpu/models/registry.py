@@ -368,6 +368,35 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
             "scatter_rows": srows, "scatter_cols": scols,
         }
 
+    use_flash = (attention == "flash"
+                 or (attention == "auto" and jax.default_backend() == "tpu"))
+
+    def shared_pred(params, batch, group_size, remat=True, lora=None,
+                    lora_scale=1.0):
+        """Shared-prompt GRPO scoring: vision tower + scatter run once per
+        UNIQUE prompt; completions attend the shared prompt KV."""
+        from iadr1_tpu.models import common as _c
+        from iadr1_tpu.models.shared_prompt import shared_prompt_pred_hidden
+
+        embeds = _c.embed_lookup(
+            params["text"]["embed"]["weight"], batch["prompt_ids"]
+        ).astype(precision.compute_dtype)
+        if batch.get("patches") is not None:
+            feats = qwen2_vl.apply_vision(
+                params["vision"], cfg.vision, batch["patches"],
+                batch["rot_cos"], batch["rot_sin"],
+                batch["vision_segments"], precision=precision,
+                attention_fn=attn, remat=bool(remat),
+            )
+            embeds = qwen2_vl.merge_image_features(
+                embeds, feats, batch["scatter_rows"], batch["scatter_cols"])
+        return shared_prompt_pred_hidden(
+            params["text"], cfg.text, batch, group_size,
+            precision=precision, use_flash=use_flash, remat=remat,
+            lora=lora.get("text") if lora else None, lora_scale=lora_scale,
+            prompt_embeds=embeds,
+        )
+
     return ModelBundle(
         family="qwen2_vl", cfg=cfg, multimodal=True,
         init_params=lambda key, dtype=jnp.float32: qwen2_vl.init_params(key, cfg, dtype),
@@ -379,6 +408,7 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
         vision_arrays=vision_arrays,
         preprocess_image=_qwen_preprocess_image(vcfg),
         template="qwen2_vl",
+        shared_pred_fn=shared_pred,
     )
 
 

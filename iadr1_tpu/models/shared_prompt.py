@@ -94,13 +94,15 @@ def shared_prompt_hidden(
     remat: bool = True,
     lora: dict | None = None,
     lora_scale: float = 1.0,
+    prompt_embeds: jax.Array | None = None,  # [n, P, hid] (VLM scatter)
 ) -> tuple[jax.Array, jax.Array]:
     """-> (prompt_hidden [n, P, hid], comp_hidden [n*G, N, hid]), final-normed.
 
     Equivalent (same math, different factorization) to qwen2.apply on the
     G-repeated concatenated [n*G, P+N] batch, restricted to causal
     visibility prompt->prompt and completion->(own prompt + own causal
-    prefix).
+    prefix).  ``prompt_embeds`` overrides the prompt embedding lookup (the
+    VLM wrappers splice image features into it).
     """
     G = group_size
     n, P = prompt_ids.shape
@@ -108,8 +110,9 @@ def shared_prompt_hidden(
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
     scale = D ** -0.5
 
-    hp = common.embed_lookup(params["embed"]["weight"], prompt_ids).astype(
-        precision.compute_dtype)
+    hp = (prompt_embeds if prompt_embeds is not None
+          else common.embed_lookup(params["embed"]["weight"], prompt_ids)
+          ).astype(precision.compute_dtype)
     hc = common.embed_lookup(params["embed"]["weight"], comp_ids).astype(
         precision.compute_dtype)
 
@@ -238,6 +241,7 @@ def shared_prompt_pred_hidden(
     params, cfg, batch, group_size: int, *,
     precision: Precision = DEFAULT_PRECISION, use_flash: bool = False,
     remat=True, lora=None, lora_scale: float = 1.0,
+    prompt_embeds: jax.Array | None = None,
 ) -> jax.Array:
     """Hidden states that PREDICT the completion tokens: [n*G, N, hid].
 
@@ -259,6 +263,7 @@ def shared_prompt_pred_hidden(
         comp_positions=batch["completion_positions"],
         group_size=group_size, precision=precision, use_flash=use_flash,
         remat=remat, lora=lora, lora_scale=lora_scale,
+        prompt_embeds=prompt_embeds,
     )
     n, P, Hd = hp.shape
     nG, N, _ = hc.shape

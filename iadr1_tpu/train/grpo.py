@@ -297,8 +297,7 @@ class GRPOTrainer:
             )(base, batch)
             logps_fn = ref_logps_fn = None
             self._shared = (cfg.shared_prompt_scoring
-                            and bundle.shared_pred_fn is not None
-                            and prompt_collator is None)
+                            and bundle.shared_pred_fn is not None)
             if self._shared:
                 G = cfg.num_generations
 
@@ -326,8 +325,7 @@ class GRPOTrainer:
             remat = True if cfg.remat == "save_flash" else cfg.remat
             logps_fn = None
             self._shared = (cfg.shared_prompt_scoring
-                            and bundle.shared_pred_fn is not None
-                            and prompt_collator is None)
+                            and bundle.shared_pred_fn is not None)
             if self._shared:
                 G = cfg.num_generations
 
@@ -412,10 +410,12 @@ class GRPOTrainer:
         G = self.cfg.num_generations
         if self.prompt_collator is not None:
             # unique-prompt batch for the prefix-cached rollout (vision
-            # tower runs once per prompt); G-repeated batch for the update
-            # forward, whose scatter plans need one row per rollout
+            # tower runs once per prompt).  Shared-prompt scoring reuses it
+            # for the update too; the dense path needs a G-repeated batch
+            # (its scatter plans want one row per rollout).
             rollout_batch = self.prompt_collator(examples, 1)
-            batch = self.prompt_collator(examples, G)
+            batch = (rollout_batch if self._shared
+                     else self.prompt_collator(examples, G))
         else:
             rollout_batch = self._collate_prompts(examples)
             batch = rollout_batch
@@ -465,10 +465,17 @@ class GRPOTrainer:
             # attending the shared prompt KV (models/shared_prompt.py)
             pu_ids = prompt_ids[::G]
             pu_mask = prompt_mask[::G]
-            pu_pos = np.clip(np.cumsum(pu_mask, axis=1) - 1, 0, None)
-            plen = pu_mask.sum(axis=1)
-            comp_pos = (np.repeat(plen, G)[:, None]
-                        + np.arange(N)[None, :]).astype(np.int32)
+            if "position_ids" in batch:   # M-RoPE (VLM collator batch)
+                pu_pos = np.asarray(batch["position_ids"])     # [3, n, P]
+                deltas = np.asarray(batch["mrope_deltas"])     # [n]
+                comp_pos = (P + np.repeat(deltas, G)[:, None]
+                            + np.arange(N)[None, :]).astype(np.int32)
+                comp_pos = np.broadcast_to(comp_pos, (3, B, N)).copy()
+            else:
+                pu_pos = np.clip(np.cumsum(pu_mask, axis=1) - 1, 0, None)
+                plen = pu_mask.sum(axis=1)
+                comp_pos = (np.repeat(plen, G)[:, None]
+                            + np.arange(N)[None, :]).astype(np.int32)
             update_batch = {
                 "prompt_ids": jnp.asarray(pu_ids, jnp.int32),
                 "prompt_segments": jnp.asarray(pu_mask, jnp.int32),
@@ -478,6 +485,10 @@ class GRPOTrainer:
                 "completion_positions": jnp.asarray(comp_pos),
                 "advantages": jnp.asarray(advantages),
             }
+            for key in ("patches", "rot_cos", "rot_sin", "vision_segments",
+                        "scatter_rows", "scatter_cols"):
+                if key in batch:
+                    update_batch[key] = batch[key]
             self.state, metrics = self.update_step(
                 self.state, self.ref_params, update_batch
             )

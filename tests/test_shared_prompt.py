@@ -94,6 +94,103 @@ def test_shared_prompt_logps_match_dense():
                                rtol=1e-4)
 
 
+def test_shared_prompt_vlm_logps_match_dense():
+    """Qwen2-VL shared path: vision tower + scatter run once per unique
+    prompt; logps must equal the dense G-repeated path (M-RoPE positions,
+    image features in the prompt)."""
+    from iadr1_tpu.models.registry import bundle_from_hf_config
+    from iadr1_tpu.vision.mrope import get_mrope_positions
+
+    cfg_dict = dict(
+        architectures=["Qwen2VLForConditionalGeneration"],
+        text_config=dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=1e4, tie_word_embeddings=True,
+            rope_scaling={"type": "mrope", "mrope_section": [4, 6, 6]},
+        ),
+        vision_config=dict(depth=2, embed_dim=32, hidden_size=64,
+                           num_heads=4, patch_size=14, spatial_merge_size=2,
+                           temporal_patch_size=2),
+        image_token_id=7, video_token_id=8,
+        vision_start_token_id=5, vision_end_token_id=6,
+    )
+    bundle = bundle_from_hf_config(cfg_dict, attention="xla",
+                                   precision=FULL_PRECISION)
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    n, G, P, N = 2, 2, 24, 5
+    nG = n * G
+    grid = (1, 4, 4)               # 16 patches -> 4 features per image
+    n_feats = 4
+    prompt_ids = np.full((n, P), 1, np.int64)
+    for i in range(n):
+        prompt_ids[i, 1] = 5
+        prompt_ids[i, 2:2 + n_feats] = 7
+        prompt_ids[i, 2 + n_feats] = 6
+        prompt_ids[i, 3 + n_feats:] = rng.integers(10, 250, P - 3 - n_feats)
+    prompt_segs = np.ones((n, P), np.int64)
+    patch_dim = 3 * 2 * 14 * 14
+    patches = [rng.standard_normal((16, patch_dim)).astype(np.float32)
+               for _ in range(n)]
+    comp_ids = rng.integers(10, 250, (nG, N)).astype(np.int32)
+    comp_mask = np.ones((nG, N), np.int32)
+
+    def collate(ids, patch_list, n_rows):
+        pos, deltas = get_mrope_positions(
+            ids, np.asarray([grid] * len(patch_list)), 7, 5,
+            attention_mask=np.ones_like(ids))
+        arrays = bundle.vision_arrays(
+            ids, patch_list, [grid] * len(patch_list), 16 * len(patch_list))
+        return pos, deltas, {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    # dense path on the G-repeated batch
+    rep_ids = np.repeat(prompt_ids, G, 0)
+    pos_r, deltas_r, arrays_r = collate(
+        rep_ids, [p for p in patches for _ in range(G)], nG)
+    full_ids = np.concatenate([rep_ids, comp_ids], 1)
+    comp_pos = (P + np.repeat(deltas_r[::G], G)[:, None]
+                + np.arange(N)[None, :])
+    positions = np.concatenate(
+        [pos_r, np.broadcast_to(comp_pos, (3, nG, N))], axis=-1)
+    dense_batch = {
+        "input_ids": jnp.asarray(full_ids, jnp.int32),
+        "segment_ids": jnp.ones((nG, P + N), jnp.int32),
+        "position_ids": jnp.asarray(positions, jnp.int32),
+        "completion_ids": jnp.asarray(comp_ids),
+        "completion_mask": jnp.asarray(comp_mask),
+        "prompt_len": P,
+        **arrays_r,
+    }
+    lp_dense = np.asarray(jax.jit(
+        lambda p, b: completion_logps(bundle_score_fn(bundle), p, b, 8)
+    )(params, dense_batch))
+
+    # shared path on the unique batch
+    pos_u, deltas_u, arrays_u = collate(prompt_ids, patches, n)
+    shared_batch = {
+        "prompt_ids": jnp.asarray(prompt_ids, jnp.int32),
+        "prompt_segments": jnp.asarray(prompt_segs, jnp.int32),
+        "prompt_positions": jnp.asarray(pos_u, jnp.int32),
+        "completion_ids": jnp.asarray(comp_ids),
+        "completion_mask": jnp.asarray(comp_mask),
+        "completion_positions": jnp.asarray(
+            np.broadcast_to(P + np.repeat(deltas_u, G)[:, None]
+                            + np.arange(N)[None, :], (3, nG, N)).copy(),
+            jnp.int32),
+        **arrays_u,
+    }
+
+    @jax.jit
+    def lp_shared_fn(params, b):
+        pred = bundle.shared_pred_fn(params, b, G, remat=False)
+        return chunked_token_logps(
+            pred, bundle.head_kernel_fn(params), b["completion_ids"], 8)
+
+    lp_shared = np.asarray(lp_shared_fn(params, shared_batch))
+    np.testing.assert_allclose(lp_shared, lp_dense, atol=3e-4, rtol=1e-4)
+
+
 def test_shared_prompt_grads_match_dense():
     """Gradients through the factored path equal the dense path's (the
     repeat's transpose sums prompt cotangents over the group)."""
