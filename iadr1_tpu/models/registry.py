@@ -512,6 +512,35 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
             "scatter_cols": np.zeros(patch_budget // merge_unit, np.int32),
         }
 
+    use_flash = (attention == "flash"
+                 or (attention == "auto" and jax.default_backend() == "tpu"))
+
+    def shared_pred(params, batch, group_size, remat=True, lora=None,
+                    lora_scale=1.0):
+        """Shared-prompt GRPO scoring (see make_qwen2_vl_bundle)."""
+        from iadr1_tpu.models import common as _c
+        from iadr1_tpu.models.qwen2_vl import merge_image_features
+        from iadr1_tpu.models.shared_prompt import shared_prompt_pred_hidden
+
+        embeds = _c.embed_lookup(
+            params["text"]["embed"]["weight"], batch["prompt_ids"]
+        ).astype(precision.compute_dtype)
+        if batch.get("patches") is not None:
+            feats = qwen25_vl.apply_vision(
+                params["vision"], cfg.vision, batch["patches"],
+                batch["rot_cos"], batch["rot_sin"],
+                batch["full_segs"], batch["window_segs"],
+                precision=precision, attention_fn=attn, remat=bool(remat),
+            )
+            embeds = merge_image_features(
+                embeds, feats, batch["scatter_rows"], batch["scatter_cols"])
+        return shared_prompt_pred_hidden(
+            params["text"], cfg.text, batch, group_size,
+            precision=precision, use_flash=use_flash, remat=remat,
+            lora=lora.get("text") if lora else None, lora_scale=lora_scale,
+            prompt_embeds=embeds,
+        )
+
     return ModelBundle(
         family="qwen2_5_vl", cfg=cfg, multimodal=True,
         init_params=lambda key, dtype=jnp.float32: qwen25_vl.init_params(key, cfg, dtype),
@@ -523,6 +552,7 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
         vision_arrays=vision_arrays,
         preprocess_image=_qwen_preprocess_image(vcfg),
         template="qwen2_vl",
+        shared_pred_fn=shared_pred,
     )
 
 

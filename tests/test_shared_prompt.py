@@ -191,6 +191,69 @@ def test_shared_prompt_vlm_logps_match_dense():
     np.testing.assert_allclose(lp_shared, lp_dense, atol=3e-4, rtol=1e-4)
 
 
+def test_shared_prompt_qwen25_vl_text_prompts():
+    """Qwen2.5-VL bundle: shared path parity on text-only prompts (the
+    windowed vision tower's feature merge is covered by the qwen2-vl
+    test; this pins the decoder + M-RoPE wiring of the 2.5 family)."""
+    from iadr1_tpu.models.registry import bundle_from_hf_config
+
+    cfg_dict = dict(
+        architectures=["Qwen2_5_VLForConditionalGeneration"],
+        text_config=dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=1e4, tie_word_embeddings=True,
+            rope_scaling={"type": "mrope", "mrope_section": [4, 6, 6]},
+        ),
+        vision_config=dict(depth=2, hidden_size=32, intermediate_size=64,
+                           out_hidden_size=64, num_heads=4, patch_size=14,
+                           spatial_merge_size=2, temporal_patch_size=2,
+                           window_size=28, fullatt_block_indexes=[1]),
+        image_token_id=7, video_token_id=8,
+        vision_start_token_id=5, vision_end_token_id=6,
+    )
+    bundle = bundle_from_hf_config(cfg_dict, attention="xla",
+                                   precision=FULL_PRECISION)
+    assert bundle.shared_pred_fn is not None
+    params = bundle.init_params(jax.random.PRNGKey(2))
+    rng = np.random.default_rng(4)
+    n, G, P, N = 2, 2, 10, 4
+    nG = n * G
+    prompt_ids = rng.integers(10, 250, (n, P)).astype(np.int32)
+    comp_ids = rng.integers(10, 250, (nG, N)).astype(np.int32)
+    rep = np.repeat(prompt_ids, G, 0)
+    full_ids = np.concatenate([rep, comp_ids], 1)
+    pos1d = np.broadcast_to(np.arange(P + N), (nG, P + N)).copy()
+    dense_batch = {
+        "input_ids": jnp.asarray(full_ids),
+        "segment_ids": jnp.ones((nG, P + N), jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(pos1d, (3, nG, P + N)).copy(), jnp.int32),
+        "completion_ids": jnp.asarray(comp_ids),
+        "completion_mask": jnp.ones((nG, N), jnp.int32),
+        "prompt_len": P,
+    }
+    lp_dense = np.asarray(jax.jit(
+        lambda p, b: completion_logps(bundle_score_fn(bundle), p, b, 8)
+    )(params, dense_batch))
+    shared_batch = {
+        "prompt_ids": jnp.asarray(prompt_ids),
+        "prompt_segments": jnp.ones((n, P), jnp.int32),
+        "prompt_positions": jnp.asarray(np.broadcast_to(
+            np.arange(P), (3, n, P)).copy(), jnp.int32),
+        "completion_ids": jnp.asarray(comp_ids),
+        "completion_mask": jnp.ones((nG, N), jnp.int32),
+        "completion_positions": jnp.asarray(np.broadcast_to(
+            P + np.arange(N), (3, nG, N)).copy(), jnp.int32),
+    }
+    lp_shared = np.asarray(jax.jit(
+        lambda p, b: chunked_token_logps(
+            bundle.shared_pred_fn(p, b, G, remat=False),
+            bundle.head_kernel_fn(p), b["completion_ids"], 8)
+    )(params, shared_batch))
+    np.testing.assert_allclose(lp_shared, lp_dense, atol=3e-4, rtol=1e-4)
+
+
 def test_shared_prompt_grads_match_dense():
     """Gradients through the factored path equal the dense path's (the
     repeat's transpose sums prompt cotangents over the group)."""
