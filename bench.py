@@ -287,7 +287,7 @@ def bench_grpo(on_tpu: bool) -> dict:
                   num_key_value_heads=2, rope_theta=1e6,
                   tie_word_embeddings=True,
                   architectures=["Qwen2ForCausalLM"])
-        P, N, G, n_prompts, steps = 1024, 256, 4, 2, 3
+        P, N, G, n_prompts, steps = 2048, 512, 4, 2, 3
     else:
         hf = dict(vocab_size=1024, hidden_size=128, intermediate_size=256,
                   num_hidden_layers=2, num_attention_heads=4,

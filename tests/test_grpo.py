@@ -177,6 +177,27 @@ def test_vlm_prompt_truncation_guard():
         trainer._collate_prompts([{"prompt_ids": [1, 42, 42, 3, 4, 5]}])
 
 
+def test_trainer_dense_scoring_path():
+    """shared_prompt_scoring=False exercises the dense repeated-batch
+    update (the path families without a shared hook still use)."""
+    tok = tiny_qwen_tokenizer()
+    hf_cfg = {**TINY, "vocab_size": max(tok.vocab_size, 600)}
+    bundle = make_qwen2_bundle(hf_cfg, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, total_steps=10, warmup_ratio=0.0))
+    state = create_train_state(params, optimizer)
+    cfg = GRPOConfig(num_generations=2, max_prompt_length=8,
+                     max_completion_length=4, logp_chunk_size=8,
+                     shared_prompt_scoring=False)
+    trainer = GRPOTrainer(bundle, tok, optimizer, cfg,
+                          [_reward_contains_token("x")], state,
+                          jax.tree.map(jnp.copy, params))
+    assert not trainer._shared
+    m = trainer.step([{"prompt_ids": [5, 6, 7], "solution": "s"}])
+    assert np.isfinite(m["loss"]) and abs(m["kl"]) < 1e-4
+
+
 def test_sync_ref_model():
     """TR-DPO-style periodic ref refresh (trl sync_ref_model): every
     sync_steps, ref <- alpha*policy + (1-alpha)*ref."""
