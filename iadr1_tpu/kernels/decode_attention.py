@@ -9,11 +9,16 @@ slots; this kernel's cost scales with the *valid* cache length.
 
 Design:
 * one decoded token per sequence: q is [B, H, D] with H = Hkv * G (GQA);
-  queries are reshaped to [B, Hkv, G, D] so each grid cell loads one K/V
-  tile and serves its whole query group (same trick as the training flash
-  kernel).
-* grid (B, Hkv, kv_blocks) with the kv dimension innermost and
-  "arbitrary"; online-softmax stats live in VMEM scratch across kv steps.
+  queries are reshaped to [B, Hkv, G, D] so each grid cell serves the
+  whole query group of one KV head.
+* **the batch lives INSIDE the block**, not in the grid: every sequence
+  shares one ragged length (prompts are left-padded and decode steps are
+  lockstep), so a cell loads K/V for ALL B rows and runs one batched
+  dot_general.  Grid is just (Hkv, kv_blocks) -- at B=16 that is 16x
+  fewer grid cells than a (B, Hkv, kv_blocks) layout, and decode at
+  these shapes is cell-overhead-bound, not bandwidth-bound.
+* grid kv dimension innermost and "arbitrary"; online-softmax stats live
+  in VMEM scratch across kv steps.
 * **ragged length via scalar prefetch**: the valid cache length (a traced
   scalar, write_idx + 1) is passed as a scalar-prefetch operand; K/V/seg
   BlockSpec index maps clamp block indices past the last valid block to
@@ -21,8 +26,11 @@ Design:
   grid steps map to the same block, so out-of-range blocks cost neither
   bandwidth nor compute (the compute is skipped with pl.when).
 * per-slot validity: slots >= length and slots whose segment id is 0
-  (left padding / finished rows) are masked with the same additive mask
-  value as the training kernel.
+  (left padding / finished rows) are where-selected out (never additive:
+  the final partial cache block is undefined padding that can be NaN --
+  see flash_attention.py bounds notes), and K/V out-of-range rows are
+  zeroed so 0 * NaN cannot leak through the p @ v matmul.
+* online softmax runs in base 2 (exp2), like the training kernels.
 
 Decode is inference-only: no VJP is defined.
 """
@@ -40,7 +48,6 @@ from iadr1_tpu.kernels.flash_attention import (
     DEFAULT_MASK_VALUE,
     LOG2E,
     RES_LANES,
-    _zero_oob_rows,
 )
 
 
@@ -51,7 +58,7 @@ def _decode_kernel(
     m_scratch, l_scratch, acc_scratch,
     *, scale: float, num_kv_blocks: int, kv_len: int,
 ):
-    kv_idx = pl.program_id(2)
+    kv_idx = pl.program_id(1)
     block_k = k_ref.shape[2]
     length = lens_ref[0]
 
@@ -63,43 +70,49 @@ def _decode_kernel(
 
     @pl.when(kv_idx * block_k < length)
     def _run():
-        q = q_ref[0, 0]                      # [G, D]
-        # the final cache block is partial when max_len % block_k != 0:
-        # its padding is UNDEFINED memory (can be NaN) -- zero it so
-        # 0 * NaN cannot leak through the p @ v matmul (see
-        # flash_attention.py bounds notes)
-        k = _zero_oob_rows(k_ref[0, 0], kv_idx, block_k, kv_len)
-        v = _zero_oob_rows(v_ref[0, 0], kv_idx, block_k, kv_len)
-        seg = seg_ref[0, 0]                  # [block_k]
+        q = q_ref[:, 0]                      # [B, G, D]
+        k = k_ref[:, 0]                      # [B, block_k, D]
+        v = v_ref[:, 0]
+        seg = seg_ref[...]                   # [B, block_k]
+
+        rows = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, k.shape, 1
+        )
+        if kv_len % block_k != 0:
+            # final partial cache block: padding is undefined memory
+            k = jnp.where(rows < kv_len, k, 0)
+            v = jnp.where(rows < kv_len, v, 0)
 
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * (scale * LOG2E)                  # [G, block_k], base-2 logits
+        ) * (scale * LOG2E)                  # [B, G, block_k], base-2
         cols = kv_idx * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1
+            jnp.int32, (1, 1, block_k), 2
         )
-        valid = (cols < length) & (seg[None, :] != 0)
-        # select, never add: NaN + mask_value stays NaN
+        valid = (cols < length) & (seg[:, None, :] != 0)
         s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[...]              # [G, RES_LANES]
+        m_prev = m_scratch[...]              # [B, G, RES_LANES]
         l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1)[:, None]
+        m_curr = jnp.max(s, axis=2)[..., None]
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next[:, :1])
-        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        p = jnp.exp2(s - m_next[..., :1])
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=2)[..., None]
         m_scratch[...] = m_next
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        acc_scratch[...] = acc_scratch[...] * alpha[..., :1] + (
+            jax.lax.dot_general(
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
         )
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
-        l = l_scratch[...][:, :1]
+        l = l_scratch[...][..., :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        o_ref[:, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
 def decode_attention(
@@ -124,6 +137,10 @@ def decode_attention(
     if scale is None:
         scale = D ** -0.5
     bk = min(block_k, S)
+    # large batches shrink the kv block so B * bk * D K/V tiles (double-
+    # buffered) stay well inside VMEM
+    while B * bk * D * 2 * 2 > 8 * 1024 * 1024 and bk > 128:
+        bk //= 2
     nkv = pl.cdiv(S, bk)
     last_valid = lambda lens: jnp.maximum(pl.cdiv(lens[0], bk) - 1, 0)
 
@@ -132,29 +149,29 @@ def decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, nkv),
+        grid=(Hkv, nkv),
         in_specs=[
-            pl.BlockSpec((1, 1, group, D), lambda b, h, s, lens: (b, h, 0, 0)),
+            pl.BlockSpec((B, 1, group, D), lambda h, s, lens: (0, h, 0, 0)),
             pl.BlockSpec(
-                (1, 1, bk, D),
-                lambda b, h, s, lens: (b, h, jnp.minimum(s, last_valid(lens)), 0),
+                (B, 1, bk, D),
+                lambda h, s, lens: (0, h, jnp.minimum(s, last_valid(lens)), 0),
             ),
             pl.BlockSpec(
-                (1, 1, bk, D),
-                lambda b, h, s, lens: (b, h, jnp.minimum(s, last_valid(lens)), 0),
+                (B, 1, bk, D),
+                lambda h, s, lens: (0, h, jnp.minimum(s, last_valid(lens)), 0),
             ),
             pl.BlockSpec(
-                (1, 1, bk),
-                lambda b, h, s, lens: (b, 0, jnp.minimum(s, last_valid(lens))),
+                (B, bk),
+                lambda h, s, lens: (0, jnp.minimum(s, last_valid(lens))),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, group, D), lambda b, h, s, lens: (b, h, 0, 0)
+            (B, 1, group, D), lambda h, s, lens: (0, h, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((group, RES_LANES), jnp.float32),
-            pltpu.VMEM((group, RES_LANES), jnp.float32),
-            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.VMEM((B, group, RES_LANES), jnp.float32),
+            pltpu.VMEM((B, group, RES_LANES), jnp.float32),
+            pltpu.VMEM((B, group, D), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -163,8 +180,8 @@ def decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lens, q4, k, v, kv_segment_ids[:, None, :])
+    )(lens, q4, k, v, kv_segment_ids)
     return out.reshape(B, H, D)
