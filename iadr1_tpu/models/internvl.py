@@ -358,6 +358,20 @@ def image_features(params, cfg: InternVLConfig, tiles, precision, remat=False):
     return h.reshape(-1, h.shape[-1])
 
 
+def compute_embeds(params, cfg, input_ids, *, tiles=None, scatter_rows=None,
+                   scatter_cols=None, precision=DEFAULT_PRECISION,
+                   remat=False, **_unused):
+    """Token embeddings with InternViT features scattered in (shared by
+    apply and the shared-prompt GRPO scoring path)."""
+    embeds = common.embed_lookup(
+        params["text"]["embed"]["weight"], input_ids
+    ).astype(precision.compute_dtype)
+    if tiles is not None:
+        feats = image_features(params, cfg, tiles, precision, remat)
+        embeds = merge_image_features(embeds, feats, scatter_rows, scatter_cols)
+    return embeds
+
+
 def apply(
     params: dict,
     cfg: InternVLConfig,
@@ -377,12 +391,10 @@ def apply(
     lora_scale: float = 1.0,
     remat: bool = False,
 ) -> tuple[jax.Array, dict | None]:
-    embeds = common.embed_lookup(
-        params["text"]["embed"]["weight"], input_ids
-    ).astype(precision.compute_dtype)
-    if tiles is not None:
-        feats = image_features(params, cfg, tiles, precision, remat)
-        embeds = merge_image_features(embeds, feats, scatter_rows, scatter_cols)
+    embeds = compute_embeds(
+        params, cfg, input_ids, tiles=tiles, scatter_rows=scatter_rows,
+        scatter_cols=scatter_cols, precision=precision, remat=remat,
+    )
     return qwen2.apply(
         params["text"], cfg.text, inputs_embeds=embeds,
         position_ids=position_ids, segment_ids=segment_ids, cache=cache,

@@ -109,28 +109,12 @@ def project(params, feats):
     return dense(h, p["fc2"]["kernel"], p["fc2"]["bias"])
 
 
-def apply(
-    params: dict,
-    cfg: LlavaConfig,
-    input_ids: jax.Array,
-    position_ids: jax.Array,
-    *,
-    tiles: jax.Array | None = None,          # [n, num_patches, patch_dim]
-    pack_src: jax.Array | None = None,       # anyres only
-    pack_weights: jax.Array | None = None,
-    newline_mask: jax.Array | None = None,
-    scatter_rows: jax.Array | None = None,
-    scatter_cols: jax.Array | None = None,
-    segment_ids: jax.Array | None = None,
-    cache: dict | None = None,
-    cache_mode: str = "extend",
-    precision: Precision = DEFAULT_PRECISION,
-    attention_fn: Callable | None = None,
-    decode_attention_fn: Callable | None = None,
-    lora: dict | None = None,
-    lora_scale: float = 1.0,
-    remat: bool = False,
-) -> tuple[jax.Array, dict | None]:
+def compute_embeds(params, cfg, input_ids, *, tiles=None, pack_src=None,
+                   pack_weights=None, newline_mask=None, scatter_rows=None,
+                   scatter_cols=None, precision=DEFAULT_PRECISION,
+                   remat=False):
+    """Token embeddings with CLIP/anyres image features scattered in
+    (shared by apply and the shared-prompt GRPO scoring path)."""
     embeds = common.embed_lookup(
         params["text"]["embed"]["weight"], input_ids
     ).astype(precision.compute_dtype)
@@ -153,6 +137,37 @@ def apply(
         else:
             packed = feats.reshape(-1, feats.shape[-1])
         embeds = merge_image_features(embeds, packed, scatter_rows, scatter_cols)
+    return embeds
+
+
+def apply(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: jax.Array,
+    position_ids: jax.Array,
+    *,
+    tiles: jax.Array | None = None,          # [n, num_patches, patch_dim]
+    pack_src: jax.Array | None = None,       # anyres only
+    pack_weights: jax.Array | None = None,
+    newline_mask: jax.Array | None = None,
+    scatter_rows: jax.Array | None = None,
+    scatter_cols: jax.Array | None = None,
+    segment_ids: jax.Array | None = None,
+    cache: dict | None = None,
+    cache_mode: str = "extend",
+    precision: Precision = DEFAULT_PRECISION,
+    attention_fn: Callable | None = None,
+    decode_attention_fn: Callable | None = None,
+    lora: dict | None = None,
+    lora_scale: float = 1.0,
+    remat: bool = False,
+) -> tuple[jax.Array, dict | None]:
+    embeds = compute_embeds(
+        params, cfg, input_ids, tiles=tiles, pack_src=pack_src,
+        pack_weights=pack_weights, newline_mask=newline_mask,
+        scatter_rows=scatter_rows, scatter_cols=scatter_cols,
+        precision=precision, remat=remat,
+    )
     return qwen2.apply(
         params["text"], cfg.text, inputs_embeds=embeds,
         position_ids=position_ids, segment_ids=segment_ids, cache=cache,

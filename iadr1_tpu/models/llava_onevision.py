@@ -116,6 +116,27 @@ def project_and_pack(
     return jnp.where(newline_mask[:, None], newline[None, :], gathered)
 
 
+def compute_embeds(params, cfg, input_ids, *, tiles=None, pack_src=None,
+                   pack_weights=None, newline_mask=None, scatter_rows=None,
+                   scatter_cols=None, precision=DEFAULT_PRECISION,
+                   remat=False):
+    """Token embeddings with anyres image features scattered in (shared by
+    apply and the shared-prompt GRPO scoring path)."""
+    embeds = common.embed_lookup(
+        params["text"]["embed"]["weight"], input_ids
+    ).astype(precision.compute_dtype)
+    if tiles is not None:
+        feats = siglip.apply(
+            params["vision"], cfg.vision, tiles, precision=precision,
+            remat=remat, post_layernorm=False,
+        )
+        packed = project_and_pack(
+            params, cfg, feats, pack_src, pack_weights, newline_mask
+        )
+        embeds = merge_image_features(embeds, packed, scatter_rows, scatter_cols)
+    return embeds
+
+
 def apply(
     params: dict,
     cfg: LlavaOnevisionConfig,
@@ -138,18 +159,12 @@ def apply(
     lora_scale: float = 1.0,
     remat: bool = False,
 ) -> tuple[jax.Array, dict | None]:
-    embeds = common.embed_lookup(params["text"]["embed"]["weight"], input_ids).astype(
-        precision.compute_dtype
+    embeds = compute_embeds(
+        params, cfg, input_ids, tiles=tiles, pack_src=pack_src,
+        pack_weights=pack_weights, newline_mask=newline_mask,
+        scatter_rows=scatter_rows, scatter_cols=scatter_cols,
+        precision=precision, remat=remat,
     )
-    if tiles is not None:
-        feats = siglip.apply(
-            params["vision"], cfg.vision, tiles, precision=precision,
-            remat=remat, post_layernorm=False,
-        )
-        packed = project_and_pack(
-            params, cfg, feats, pack_src, pack_weights, newline_mask
-        )
-        embeds = merge_image_features(embeds, packed, scatter_rows, scatter_cols)
     return qwen2.apply(
         params["text"], cfg.text, inputs_embeds=embeds,
         position_ids=position_ids, segment_ids=segment_ids, cache=cache,

@@ -21,6 +21,7 @@ import json
 import os
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,6 +120,36 @@ def configure_rope_scaling(hf_config: dict, rope_scaling: str,
             rs["original_max_position_embeddings"] = current_max
     out["rope_scaling"] = rs
     return out
+
+
+def _vlm_shared_pred(module, cfg, precision, attention: str):
+    """Shared-prompt GRPO scoring for decoder VLMs whose apply() builds
+    inputs_embeds via ``module.compute_embeds`` (llava, llava-onevision,
+    internvl): vision tower + scatter run once per unique prompt."""
+    use_flash = (attention == "flash"
+                 or (attention == "auto" and jax.default_backend() == "tpu"))
+
+    def shared_pred(params, batch, group_size, remat=True, lora=None,
+                    lora_scale=1.0):
+        from iadr1_tpu.models.shared_prompt import shared_prompt_pred_hidden
+
+        embeds = module.compute_embeds(
+            params, cfg, batch["prompt_ids"],
+            tiles=batch.get("tiles"), pack_src=batch.get("pack_src"),
+            pack_weights=batch.get("pack_weights"),
+            newline_mask=batch.get("newline_mask"),
+            scatter_rows=batch.get("scatter_rows"),
+            scatter_cols=batch.get("scatter_cols"),
+            precision=precision, remat=bool(remat),
+        )
+        return shared_prompt_pred_hidden(
+            params["text"], cfg.text, batch, group_size,
+            precision=precision, use_flash=use_flash, remat=remat,
+            lora=lora.get("text") if lora else None, lora_scale=lora_scale,
+            prompt_embeds=embeds,
+        )
+
+    return shared_pred
 
 
 def _qwen2_text_cfg(hf: dict) -> qwen2.Qwen2Config:
@@ -667,6 +698,8 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
 
     return ModelBundle(
         family="llava_onevision", cfg=cfg, multimodal=True,
+        shared_pred_fn=_vlm_shared_pred(llava_onevision, cfg, precision,
+                                        attention),
         init_params=lambda key, dtype=jnp.float32: llava_onevision.init_params(key, cfg, dtype),
         convert_hf=lambda state, dtype=jnp.float32: llava_onevision.convert_hf(state, cfg, dtype),
         logical_axes=lambda: llava_onevision.logical_axes(cfg),
@@ -810,6 +843,7 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
 
     return ModelBundle(
         family="llava_next" if anyres_mode else "llava", cfg=cfg,
+        shared_pred_fn=_vlm_shared_pred(llava, cfg, precision, attention),
         multimodal=True,
         init_params=lambda key, dtype=jnp.float32: llava.init_params(key, cfg, dtype),
         convert_hf=lambda state, dtype=jnp.float32: llava.convert_hf(state, cfg, dtype),
@@ -912,6 +946,7 @@ def make_internvl_bundle(hf_config: dict, attention: str = "auto",
 
     return ModelBundle(
         family="internvl", cfg=cfg, multimodal=True,
+        shared_pred_fn=_vlm_shared_pred(internvl, cfg, precision, attention),
         init_params=lambda key, dtype=jnp.float32: internvl.init_params(key, cfg, dtype),
         convert_hf=lambda state, dtype=jnp.float32: internvl.convert_hf(state, cfg, dtype),
         logical_axes=lambda: internvl.logical_axes(cfg),

@@ -254,6 +254,81 @@ def test_shared_prompt_qwen25_vl_text_prompts():
     np.testing.assert_allclose(lp_shared, lp_dense, atol=3e-4, rtol=1e-4)
 
 
+def test_shared_prompt_llava_onevision_matches_dense():
+    """LLaVA-OneVision (anyres tiles, 1-D RoPE): shared-prompt logps equal
+    the dense G-repeated path -- covers the generic _vlm_shared_pred used
+    by the llava/onevision/internvl families."""
+    from PIL import Image
+
+    from iadr1_tpu.models.registry import bundle_from_hf_config
+
+    cfg_dict = dict(
+        architectures=["LlavaOnevisionForConditionalGeneration"],
+        text_config=dict(
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rope_theta=1e4, tie_word_embeddings=True),
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=56, patch_size=14),
+        image_token_index=499,
+        image_grid_pinpoints=[[56, 56], [56, 112], [112, 56]],
+    )
+    bundle = bundle_from_hf_config(cfg_dict, attention="xla",
+                                   precision=FULL_PRECISION)
+    assert bundle.shared_pred_fn is not None
+    params = bundle.init_params(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(6)
+    img = Image.fromarray(rng.integers(0, 255, (70, 52, 3), np.uint8))
+    patches, grid, seqlen = bundle.preprocess_image(img)
+    n, G, N = 1, 2, 4
+    nG = n * G
+    P = seqlen + 8
+    prompt_ids = np.full((n, P), 1, np.int64)
+    prompt_ids[0, 1:1 + seqlen] = cfg_dict["image_token_index"]
+    prompt_ids[0, 1 + seqlen:] = rng.integers(10, 490, P - 1 - seqlen)
+    comp_ids = rng.integers(10, 490, (nG, N)).astype(np.int32)
+    budget = patches.shape[0] * patches.shape[1]
+
+    def arrays(ids, k):
+        return {key: jnp.asarray(v) for key, v in bundle.vision_arrays(
+            ids, [patches] * k, [grid] * k, budget * k).items()}
+
+    rep_ids = np.repeat(prompt_ids, G, 0)
+    dense_batch = {
+        "input_ids": jnp.asarray(
+            np.concatenate([rep_ids, comp_ids], 1), jnp.int32),
+        "segment_ids": jnp.ones((nG, P + N), jnp.int32),
+        "position_ids": jnp.asarray(np.broadcast_to(
+            np.arange(P + N), (nG, P + N)).copy(), jnp.int32),
+        "completion_ids": jnp.asarray(comp_ids),
+        "completion_mask": jnp.ones((nG, N), jnp.int32),
+        "prompt_len": P,
+        **arrays(rep_ids, G),
+    }
+    lp_dense = np.asarray(jax.jit(
+        lambda p, b: completion_logps(bundle_score_fn(bundle), p, b, 8)
+    )(params, dense_batch))
+
+    shared_batch = {
+        "prompt_ids": jnp.asarray(prompt_ids, jnp.int32),
+        "prompt_segments": jnp.ones((n, P), jnp.int32),
+        "prompt_positions": jnp.asarray(np.broadcast_to(
+            np.arange(P), (n, P)).copy(), jnp.int32),
+        "completion_ids": jnp.asarray(comp_ids),
+        "completion_mask": jnp.ones((nG, N), jnp.int32),
+        "completion_positions": jnp.asarray(np.broadcast_to(
+            P + np.arange(N), (nG, N)).copy(), jnp.int32),
+        **arrays(prompt_ids, 1),
+    }
+    lp_shared = np.asarray(jax.jit(
+        lambda p, b: chunked_token_logps(
+            bundle.shared_pred_fn(p, b, G, remat=False),
+            bundle.head_kernel_fn(p), b["completion_ids"], 8)
+    )(params, shared_batch))
+    np.testing.assert_allclose(lp_shared, lp_dense, atol=3e-4, rtol=1e-4)
+
+
 def test_shared_prompt_grads_match_dense():
     """Gradients through the factored path equal the dense path's (the
     repeat's transpose sums prompt cotangents over the group)."""
