@@ -370,6 +370,98 @@ _register(ChatTemplate(
     user=("User: {content}\nFalcon:",),
     assistant=("{content}", EOS, "\n"),
 ))
+_register(ChatTemplate(
+    name="aquila",
+    user=("Human: {content}###Assistant:",),
+    assistant=("{content}###",),
+    system=("System: {content}###",),
+    default_system=(
+        "A chat between a curious human and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the human's questions."
+    ),
+    stop_words=("</s>",),
+))
+_register(ChatTemplate(
+    name="atom",
+    user=(BOS, "Human: {content}\n", EOS, BOS, "Assistant:"),
+    assistant=("{content}\n", EOS),
+))
+_register(ChatTemplate(
+    name="breeze",
+    user=("[INST] {content} [/INST] ",),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="cohere",
+    user=("<|START_OF_TURN_TOKEN|><|USER_TOKEN|>{content}<|END_OF_TURN_TOKEN|>"
+          "<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>",),
+    system=("<|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>{content}"
+            "<|END_OF_TURN_TOKEN|>",),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="cpm",
+    user=("<用户>{content}<AI>",),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="cpm3",
+    user=_CHATML_KW["user"],
+    assistant=_CHATML_KW["assistant"],
+    system=_CHATML_KW["system"],
+    prefix=(BOS,),
+    stop_words=("<|im_end|>",),
+))
+_register(ChatTemplate(
+    name="dbrx",
+    user=_CHATML_KW["user"],
+    assistant=_CHATML_KW["assistant"],
+    system=_CHATML_KW["system"],
+))
+_register(ChatTemplate(
+    name="exaone",
+    user=("[|user|]{content}\n[|assistant|]",),
+    assistant=("{content}", EOS, "\n"),
+    system=("[|system|]{content}[|endofturn|]\n",),
+))
+_register(ChatTemplate(
+    name="orion",
+    user=("Human: {content}\n\nAssistant: ", EOS),
+    prefix=(BOS,),
+))
+_register(ChatTemplate(
+    name="solar",
+    user=("### User:\n{content}\n\n### Assistant:\n",),
+    system=("### System:\n{content}\n\n",),
+))
+_register(ChatTemplate(
+    name="starchat",
+    user=("<|user|>\n{content}<|end|>\n<|assistant|>",),
+    assistant=("{content}<|end|>\n",),
+    system=("<|system|>\n{content}<|end|>\n",),
+    stop_words=("<|end|>",),
+))
+_register(ChatTemplate(
+    name="telechat",
+    user=("<_user>{content}<_bot>",),
+    system=("<_system>{content}<_end>",),
+))
+_register(ChatTemplate(
+    name="xverse",
+    user=("Human: {content}\n\nAssistant: ",),
+))
+_register(ChatTemplate(
+    name="yuan",
+    user=("{content}<sep>",),
+    assistant=("{content}<eod>\n",),
+    stop_words=("<eod>",),
+))
+_register(ChatTemplate(
+    name="ziya",
+    user=("<human>:{content}\n<bot>:",),
+    assistant=("{content}\n",),
+))
 
 
 def get_template(name: str) -> ChatTemplate:

@@ -106,3 +106,28 @@ def test_every_template_encodes(name):
     assert all(len(p) > 0 and len(r) > 0 for p, r in pairs)
     prompt = tpl.encode_prompt(tok, MSGS[:1], system="S")
     assert len(prompt) > 0
+
+
+def test_second_batch_goldens():
+    assert render("cohere", "SYS") == (
+        "<s><|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>SYS<|END_OF_TURN_TOKEN|>"
+        "<|START_OF_TURN_TOKEN|><|USER_TOKEN|>Hi<|END_OF_TURN_TOKEN|>"
+        "<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>Hello!</s>"
+        "<|START_OF_TURN_TOKEN|><|USER_TOKEN|>Bye<|END_OF_TURN_TOKEN|>"
+        "<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>See ya</s>"
+    )
+    assert render("exaone", "SYS") == (
+        "[|system|]SYS[|endofturn|]\n[|user|]Hi\n[|assistant|]Hello!</s>\n"
+        "[|user|]Bye\n[|assistant|]See ya</s>\n"
+    )
+    assert render("solar") == (
+        "### User:\nHi\n\n### Assistant:\nHello!</s>"
+        "### User:\nBye\n\n### Assistant:\nSee ya</s>"
+    )
+    assert render("ziya") == (
+        "<human>:Hi\n<bot>:Hello!\n<human>:Bye\n<bot>:See ya\n"
+    )
+    assert render("atom") == (
+        "<s>Human: Hi\n</s><s>Assistant:Hello!\n</s>"
+        "<s>Human: Bye\n</s><s>Assistant:See ya\n</s>"
+    )
