@@ -201,3 +201,41 @@ def test_pretrain_mode_harness_plumbing(tmp_path):
     )
     assert [a["gpt_answer"] for a in answers] == ["B", "B", "B"]
     assert len(_json.load(open(out))) == 3
+
+
+def test_real_benchmark_data_constant_no():
+    """Drive the eval stack on the REAL reference benchmark JSON (DAGM):
+    a constant-"No" model must score exactly 50.0 balanced accuracy with
+    Overkill 0 / Miss 100 (the skill-documented invariant)."""
+    import json
+    import os
+
+    import pytest
+
+    path = "/root/reference/data/Test/test_DAGM_format.json"
+    if not os.path.exists(path):
+        pytest.skip("reference benchmark data not mounted")
+    from iadr1_tpu.eval.mcq import extract_option_answer, parse_conversation
+    from iadr1_tpu.eval.summary import summarize_answers_file
+
+    data = json.load(open(path))
+    answers = []
+    for image, sample in list(data.items())[:400]:
+        qs = parse_conversation(sample)
+        if not qs:
+            continue
+        q = qs[0]
+        answers.append({
+            "image": image, "question": {"text": q.text},
+            "question_type": q.question_type, "correct_answer": q.answer,
+            "gpt_answer": extract_option_answer("<answer>No</answer>",
+                                                q.options),
+            "response": "<answer>No</answer>",
+        })
+    assert len(answers) >= 100
+    apath = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                         "dagm_answers_0_shot.json")
+    json.dump(answers, open(apath, "w"))
+    df = summarize_answers_file(apath, normal_flag="good",
+                                show_overkill_miss=True)
+    assert abs(df.loc["DAGM", "Anomaly Detection"] - 50.0) < 1e-9

@@ -273,6 +273,8 @@ def test_grpo_trainer_learns_reward():
         [_reward_contains_token(target)], state, ref_params,
         schedule=schedule,
     )
+    # text bundles score through the factored shared-prompt path by default
+    assert trainer._shared
     prompt_ids = tok.encode("Are there any defects", add_special_tokens=False)[:6]
     examples = [
         {"prompt_ids": prompt_ids, "solution": "<answer>yes</answer>"},
