@@ -26,13 +26,11 @@ TPU design -- expert-capacity dispatch with static shapes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iadr1_tpu.models import common, qwen2
+from iadr1_tpu.models import qwen2
 from iadr1_tpu.models.common import dense, rms_norm
 
 

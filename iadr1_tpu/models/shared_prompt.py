@@ -23,8 +23,6 @@ code.  LoRA factors apply on both sides.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 # form stage -> (CLI module, config section defaults)
 STAGE_CLI = {
