@@ -17,6 +17,7 @@ replacement for DeepSpeed's gather/partition machinery
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Any, Mapping, Sequence
 
@@ -25,6 +26,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MESH_AXES = ("dp", "fsdp", "tp")
+
+# Ambient mesh consulted by the Pallas kernels (kernels/flash_attention.py,
+# kernels/decode_attention.py) at trace time: a pallas_call has no GSPMD
+# partitioning rule, so under a >1-device mesh the kernels wrap themselves
+# in jax.shard_map (batch -> dp/fsdp, heads -> tp) against this mesh.
+# build_mesh() sets it; tests scope it with kernel_mesh_scope().
+_KERNEL_MESH: Mesh | None = None
+
+
+def set_kernel_mesh(mesh: Mesh | None) -> Mesh | None:
+    """Set the ambient kernel mesh; returns the previous value."""
+    global _KERNEL_MESH
+    prev = _KERNEL_MESH
+    _KERNEL_MESH = mesh
+    return prev
+
+
+def kernel_mesh() -> Mesh | None:
+    return _KERNEL_MESH
+
+
+@contextlib.contextmanager
+def kernel_mesh_scope(mesh: Mesh | None):
+    """Temporarily set (or clear, with None) the ambient kernel mesh."""
+    prev = set_kernel_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_kernel_mesh(prev)
 
 # Default logical-axis -> mesh-axis rules.  "embed"-sharded over fsdp gives
 # the ZeRO-3 analogue; vocab/mlp/heads over tp gives Megatron-style TP.
@@ -97,7 +127,12 @@ def build_mesh(
         devices = list(devices)
         shape = config.resolve(len(devices))
         dev_array = np.asarray(devices).reshape(shape)
-    return Mesh(dev_array, MESH_AXES)
+    mesh = Mesh(dev_array, MESH_AXES)
+    # Building a mesh declares intent to run on it: arm the Pallas kernels'
+    # shard_map wrapping so flash/decode attention partition over it instead
+    # of falling into GSPMD's no-rule replication path.
+    set_kernel_mesh(mesh)
+    return mesh
 
 
 def logical_to_mesh_axes(

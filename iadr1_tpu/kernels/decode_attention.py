@@ -124,13 +124,50 @@ def decode_attention(
     *,
     scale: float | None = None,
     block_k: int = 512,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Single-step cached attention; returns [B, H, D].
 
     HBM traffic scales with ``length`` (rounded up to ``block_k``), not
-    with the static cache size.
+    with the static cache size.  ``interpret=None`` resolves to Pallas
+    interpret mode off-TPU.  Under a >1-device ambient mesh
+    (core.mesh.kernel_mesh) the kernel shard_maps batch over (dp, fsdp)
+    and KV heads over tp, mirroring the training kernels
+    (flash_attention.py mesh-partitioning notes); the ragged length
+    scalar is replicated.
     """
+    from iadr1_tpu.kernels.flash_attention import (
+        _kernel_mesh,
+        _mesh_batch_heads,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mesh = _kernel_mesh()
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        B, H = q.shape[0], q.shape[1]
+        Hkv = k.shape[1]
+        batch, head = _mesh_batch_heads(mesh, B, H, Hkv)
+        fn = jax.shard_map(
+            lambda q_, k_, v_, s_, l_: _decode_impl(
+                q_, k_, v_, s_, l_, scale=scale, block_k=block_k,
+                interpret=interpret,
+            ),
+            mesh=mesh,
+            in_specs=(P(batch, head, None), P(batch, head, None, None),
+                      P(batch, head, None, None), P(batch, None), P()),
+            out_specs=P(batch, head, None),
+            check_vma=False,  # inference-only; no transpose concerns
+        )
+        return fn(q, k, v, kv_segment_ids, length)
+    return _decode_impl(q, k, v, kv_segment_ids, length, scale=scale,
+                        block_k=block_k, interpret=interpret)
+
+
+def _decode_impl(q, k, v, kv_segment_ids, length, *, scale, block_k,
+                 interpret):
     B, H, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
     group = H // Hkv

@@ -578,6 +578,136 @@ def _flash_bwd(scale, causal, blocks, interpret, residuals, grads):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# mesh partitioning (shard_map)
+# ---------------------------------------------------------------------------
+#
+# pallas_call has no GSPMD partitioning rule: under a jit over a >1-device
+# mesh the kernel would be replicated (every device computing the full
+# batch), destroying exactly the dp/fsdp/tp scaling the mesh exists for.
+# The reference runs flash-attn under ZeRO-3 sharding everywhere
+# (llamafactory/model_utils/attention.py:63-68, scripts/train/zero3.json);
+# the TPU equivalent is an explicit shard_map: batch -> (dp, fsdp), heads ->
+# tp.  Attention is pointwise in (batch, kv-head-group), so the per-shard
+# kernel is just the unsharded kernel on smaller B/H -- no collectives.
+#
+# Axes whose size does not divide the call's batch/head dims stay
+# replicated (e.g. the vision tower's packed [1, P] patch stream under
+# dp>1); shard_map's transpose handles replicated operands exactly
+# (verified bitwise in tests/test_mesh_kernels.py).
+
+
+def _mesh_batch_heads(mesh, B: int, H: int, Hkv: int):
+    """(batch_axes, head_axis): mesh axes that divide this call's dims.
+
+    Batch takes dp/fsdp greedily; heads take tp when BOTH H and Hkv divide
+    (the GQA group must stay intact per shard).
+    """
+    batch, prod = [], 1
+    for a in ("dp", "fsdp"):
+        n = mesh.shape.get(a, 1)
+        if n > 1 and B % (prod * n) == 0:
+            batch.append(a)
+            prod *= n
+    tp = mesh.shape.get("tp", 1)
+    head = "tp" if (tp > 1 and H % tp == 0 and Hkv % tp == 0) else None
+    return (tuple(batch) or None), head
+
+
+def _kernel_mesh():
+    from iadr1_tpu.core.mesh import kernel_mesh
+
+    mesh = kernel_mesh()
+    if mesh is None or mesh.size <= 1:
+        return None
+    return mesh
+
+
+def _flash_specs(mesh, B, H, Hkv):
+    from jax.sharding import PartitionSpec as P
+
+    batch, head = _mesh_batch_heads(mesh, B, H, Hkv)
+    return {
+        "qkv": P(batch, head, None, None),
+        "seg": P(batch, None),
+        "lse": P(batch, head, None),
+        "res": P(batch, head, None, None),
+    }
+
+
+# The custom_vjp sits OUTSIDE the shard_maps: the fwd/bwd rules each
+# shard_map the raw _fwd/_bwd kernels, so autodiff and the remat-policy
+# machinery never differentiate *through* a shard_map (jax 0.9's
+# partial-eval of checkpoint_name'd values inside a differentiated
+# shard_map trips on Literal residuals), and the outer jaxpr carries the
+# exact named-residual structure the single-device path is proven with.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_mesh(q, k, v, q_seg, kv_seg, mesh, scale, causal, blocks,
+                interpret):
+    out, lse8 = _flash_mesh_raw_fwd(
+        mesh, q, k, v, q_seg, kv_seg, scale, causal, blocks, interpret
+    )
+    return out, lse8[..., 0]
+
+
+def _flash_mesh_raw_fwd(mesh, q, k, v, q_seg, kv_seg, scale, causal, blocks,
+                        interpret):
+    sp = _flash_specs(mesh, q.shape[0], q.shape[1], k.shape[1])
+    fn = jax.shard_map(
+        lambda q_, k_, v_, qs_, ks_: _fwd(
+            q_, k_, v_, qs_, ks_, scale=scale, causal=causal, blocks=blocks,
+            interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(sp["qkv"], sp["qkv"], sp["qkv"], sp["seg"], sp["seg"]),
+        out_specs=(sp["qkv"], sp["res"]),
+        # pallas_call carries no varying-manual-axes info; replicated-
+        # operand transposes are still exact (see module comment above)
+        check_vma=False,
+    )
+    return fn(q, k, v, q_seg, kv_seg)
+
+
+def _flash_mesh_fwd(q, k, v, q_seg, kv_seg, mesh, scale, causal, blocks,
+                    interpret):
+    out, lse8 = _flash_mesh_raw_fwd(
+        mesh, q, k, v, q_seg, kv_seg, scale, causal, blocks, interpret
+    )
+    out, lse = _name_residuals(out, lse8)
+    return (out, lse), (q, k, v, q_seg, kv_seg, out, lse)
+
+
+def _flash_mesh_bwd(mesh, scale, causal, blocks, interpret, residuals, grads):
+    q, k, v, q_seg, kv_seg, out, lse = residuals
+    do, _ = grads
+    sp = _flash_specs(mesh, q.shape[0], q.shape[1], k.shape[1])
+    fn = jax.shard_map(
+        lambda q_, k_, v_, qs_, ks_, o_, l_, do_: _bwd(
+            q_, k_, v_, qs_, ks_, o_, l_, do_,
+            scale=scale, causal=causal, blocks=blocks, interpret=interpret,
+        ),
+        mesh=mesh,
+        in_specs=(sp["qkv"], sp["qkv"], sp["qkv"], sp["seg"], sp["seg"],
+                  sp["qkv"], sp["lse"], sp["qkv"]),
+        out_specs=(sp["qkv"], sp["qkv"], sp["qkv"]),
+        check_vma=False,
+    )
+    dq, dk, dv = fn(q, k, v, q_seg, kv_seg, out, lse, do)
+    return dq, dk, dv, None, None
+
+
+_flash_mesh.defvjp(_flash_mesh_fwd, _flash_mesh_bwd)
+
+
+def _sharded_flash(mesh, q, k, v, q_seg, kv_seg, scale, causal, blocks,
+                   interpret):
+    return _flash_mesh(
+        q, k, v, q_seg, kv_seg, mesh, scale, causal, blocks, interpret
+    )
+
+
 def flash_attention_with_lse(
     q: jax.Array,
     k: jax.Array,
@@ -588,13 +718,19 @@ def flash_attention_with_lse(
     causal: bool = True,
     scale: float | None = None,
     blocks: BlockSizes | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused attention returning (out [B,H,T,D], lse [B,H,T]).
 
     The VJP fwd rule checkpoint_names (out, lse) so remat with the
     save_only_these_names policy skips the forward-kernel recompute in the
     backward pass (see _flash docstring).
+
+    ``interpret=None`` resolves to Pallas interpret mode off-TPU, so the
+    same call sites run compiled on hardware and interpreted in CPU tests.
+    Under a >1-device ambient mesh (core.mesh.kernel_mesh, set by
+    build_mesh) the kernel is shard_mapped: batch over (dp, fsdp), heads
+    over tp.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -607,6 +743,14 @@ def flash_attention_with_lse(
             else jnp.ones((k.shape[0], k.shape[2]), jnp.int32)
         )
     blocks = blocks or default_blocks()
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mesh = _kernel_mesh()
+    if mesh is not None:
+        return _sharded_flash(
+            mesh, q, k, v, segment_ids, kv_segment_ids, scale, causal,
+            blocks, interpret,
+        )
     return _flash(
         q, k, v, segment_ids, kv_segment_ids, scale, causal, blocks, interpret
     )
@@ -622,7 +766,7 @@ def flash_attention(
     causal: bool = True,
     scale: float | None = None,
     blocks: BlockSizes | None = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Fused attention: q [B,H,T,D], k/v [B,Hkv,S,D] -> [B,H,T,D].
 

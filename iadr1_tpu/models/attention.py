@@ -30,7 +30,7 @@ def xla_attn(q, k, v, *, mask=None, q_segments=None, kv_segments=None, causal=Tr
 
 
 def flash_attn(q, k, v, *, mask=None, q_segments=None, kv_segments=None,
-               causal=True, interpret=False):
+               causal=True, interpret=None):
     # (out, lse) are checkpoint_named inside the kernel's VJP fwd rule in
     # layout-compact storage shapes -- naming here would save a second,
     # lane-padded copy without unlocking anything
@@ -128,7 +128,7 @@ def default_attention(kind: str = "auto"):
 
 
 def flash_decode_attn(q, k_cache, v_cache, kv_segments, length,
-                      interpret=False):
+                      interpret=None):
     """Ragged single-token cached attention (kernels/decode_attention.py).
 
     q [B, 1, H, D]; k/v cache [B, Hkv, S, D]; cost scales with ``length``.

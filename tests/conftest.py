@@ -23,3 +23,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Parity tests against torch need true f32 matmuls, not bf16-emulating ones.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_mesh():
+    """build_mesh arms the Pallas kernels' ambient shard_map mesh; reset it
+    after every test so mesh tests don't leak sharding into kernel tests."""
+    yield
+    from iadr1_tpu.core.mesh import set_kernel_mesh
+
+    set_kernel_mesh(None)
