@@ -37,6 +37,12 @@ class PrefSection:
     label_smoothing: float = 0.0
     simpo_gamma: float = 0.5
     ftx: float = 0.0
+    # rloo / online_dpo (rollout-based stages; trl rloo_config.py /
+    # online_dpo_config.py defaults)
+    num_generations: int = 4          # rloo_k (2 for online_dpo)
+    max_completion_length: int = 128
+    kl_coef: float = 0.05             # rloo KL (runs through k3 beta)
+    missing_eos_penalty: float = 0.0  # online_dpo; 0 disables
     desirable_weight: float = 1.0     # kto
     undesirable_weight: float = 1.0   # kto
     ref_dtype: str = "bfloat16"
@@ -125,7 +131,7 @@ def main(argv=None):
     opt_cfg = dataclass_from_dict(OptimizerConfig, cfg.optim)
     if not opt_cfg.total_steps:
         opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
-    if cfg.stage not in ("dpo", "kto", "rm", "ppo"):
+    if cfg.stage not in ("dpo", "kto", "rm", "ppo", "rloo", "online_dpo"):
         raise ValueError(f"unknown stage {cfg.stage!r}")
 
     model_cfg = cfg.model
@@ -152,6 +158,75 @@ def main(argv=None):
         raw = raw[: cfg.data.max_samples]
 
     T = cfg.data.cutoff_len
+    if cfg.stage in ("rloo", "online_dpo"):
+        # prompts-only rows, rollout-scored (trl rloo_trainer.py /
+        # online_dpo_trainer.py; rewards stand in for the reward model)
+        from iadr1_tpu.rewards import get_reward_funcs
+        from iadr1_tpu.train.grpo import GRPOConfig
+        from iadr1_tpu.train.online_rl import OnlineDPOTrainer, RLOOTrainer
+
+        examples = []
+        for row in raw:
+            messages = row.get("messages", row.get("conversations"))
+            if messages and messages[-1].get("role") == "assistant":
+                messages = messages[:-1]
+            ex = {k: v for k, v in row.items()
+                  if k not in ("messages", "conversations")}
+            ex["prompt_ids"] = template.encode_prompt(
+                tokenizer, messages, system=row.get("system"))
+            examples.append(ex)
+
+        mesh = build_mesh(dataclass_from_dict(MeshConfig, cfg.mesh))
+        params = jax.device_put(
+            params, pytree_shardings(bundle.logical_axes(), mesh))
+        optimizer, schedule = make_optimizer(opt_cfg)
+        state = create_sharded_state(params, optimizer)
+        funcs = get_reward_funcs(list(cfg.pref.reward_funcs))
+        ref_dtype = getattr(jnp, cfg.pref.ref_dtype)
+        ref_params = jax.tree.map(lambda x: x.astype(ref_dtype), params)
+
+        if cfg.stage == "rloo":
+            gcfg = GRPOConfig(
+                num_generations=cfg.pref.num_generations,
+                beta=cfg.pref.kl_coef,
+                max_prompt_length=T,
+                max_completion_length=cfg.pref.max_completion_length,
+            )
+            trainer = RLOOTrainer(bundle, tokenizer, optimizer, gcfg,
+                                  funcs, state, ref_params,
+                                  schedule=schedule)
+        else:
+            dcfg = DPOConfig(beta=cfg.pref.beta,
+                             loss_type=cfg.pref.loss_type,
+                             label_smoothing=cfg.pref.label_smoothing)
+            trainer = OnlineDPOTrainer(
+                bundle, tokenizer, optimizer, dcfg, funcs, state,
+                ref_params, max_prompt_length=T,
+                max_completion_length=cfg.pref.max_completion_length,
+                schedule=schedule,
+                missing_eos_penalty=cfg.pref.missing_eos_penalty or None,
+            )
+
+        logger = JsonlLogger(loop_cfg.output_dir, loop_cfg.max_steps)
+        ckpt = CheckpointManager(
+            os.path.join(loop_cfg.output_dir, "checkpoints"),
+            max_to_keep=loop_cfg.keep_checkpoints,
+        )
+        rng = np.random.default_rng(loop_cfg.seed)
+        bs = max(loop_cfg.batch_size, 1)
+        for step_idx in range(1, loop_cfg.max_steps + 1):
+            idx = rng.choice(len(examples), size=min(bs, len(examples)),
+                             replace=False)
+            metrics = trainer.step([examples[i] for i in idx])
+            if step_idx % max(loop_cfg.logging_steps, 1) == 0:
+                logger.log(step_idx, metrics)
+            if loop_cfg.save_steps and step_idx % loop_cfg.save_steps == 0:
+                ckpt.save(step_idx, trainer.state)
+        ckpt.save(loop_cfg.max_steps, trainer.state)
+        ckpt.wait()
+        logger.close()
+        return 0
+
     if cfg.stage == "ppo":
         from iadr1_tpu.core.config import dataclass_from_dict as _dfd
         from iadr1_tpu.rewards import get_reward_funcs

@@ -373,6 +373,12 @@ class GRPOTrainer:
 
     # --- prompt collation --------------------------------------------------
 
+    def compute_advantages(self, rewards: np.ndarray) -> np.ndarray:
+        """Group-normalized advantages; subclass hook (train/online_rl.py
+        RLOOTrainer swaps in the leave-one-out baseline)."""
+        return group_advantages(rewards, self.cfg.num_generations,
+                                self.cfg.scale_rewards)
+
     def _collate_prompts(self, examples: Sequence[dict]) -> dict:
         """Left-pad tokenized prompts to max_prompt_length -- one row per
         UNIQUE prompt; the engine's grouped generate repeats the prefilled
@@ -400,8 +406,19 @@ class GRPOTrainer:
         for i, ids in enumerate(ids_list):
             input_ids[i, P - len(ids):] = ids
             mask[i, P - len(ids):] = 1
-        return {"input_ids": jnp.asarray(input_ids),
-                "attention_mask": jnp.asarray(mask)}
+        batch = {"input_ids": jnp.asarray(input_ids),
+                 "attention_mask": jnp.asarray(mask)}
+        tcfg = getattr(self.bundle.cfg, "text", self.bundle.cfg)
+        if getattr(tcfg, "mrope_section", None) is not None:
+            # text-only prompts on an M-RoPE model: all three axes share
+            # the text position stream (collator.py get_rope_index text
+            # branch)
+            pos = np.clip(np.cumsum(mask, axis=1) - 1, 0, None)
+            batch["position_ids"] = jnp.asarray(
+                np.broadcast_to(pos, (3, B, P)).copy(), jnp.int32)
+            batch["mrope_deltas"] = jnp.asarray(pos[:, -1] + 1 - P,
+                                                jnp.int32)
+        return batch
 
     # --- one GRPO step -----------------------------------------------------
 
@@ -453,7 +470,7 @@ class GRPOTrainer:
                      **reward_kwargs)
             rewards_per_func[:, i] = np.asarray(out, np.float64)
         rewards = rewards_per_func.sum(axis=1)
-        advantages = group_advantages(rewards, G, self.cfg.scale_rewards)
+        advantages = self.compute_advantages(rewards)
 
         # assemble update batch (static shapes)
         prompt_ids = np.asarray(rollout["prompt_ids"])

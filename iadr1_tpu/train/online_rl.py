@@ -1,0 +1,205 @@
+"""On-policy trainers beyond SC-GRPO: RLOO and Online DPO.
+
+TPU counterparts of the reference's vendored trl trainers
+(trl/trl/trainer/rloo_trainer.py, online_dpo_trainer.py) that the recipe
+never calls but the framework surface includes.  Both reuse the SC-GRPO
+infrastructure: the in-program RolloutEngine (no vLLM sidecar, no weight
+sync), host-side structured rewards, and chunked sequence logps.
+
+* RLOO (rloo_trainer.py:431-439): the group baseline is leave-one-out --
+  adv_i = r_i - mean(r_j, j != i) -- with optional whitening, instead of
+  GRPO's (r - mean)/std.  KL control runs through the update step's k3
+  penalty (GRPOConfig.beta) rather than trl's in-reward kl_coef: same
+  gradient pressure, one fewer scoring pass.
+* Online DPO (online_dpo_trainer.py:546-636): two completions per prompt,
+  a scorer ranks them, and the DPO loss (sigmoid/ipo) is applied to the
+  on-policy chosen/rejected pair against the frozen reference.  The
+  scorer here is the summed structured reward functions (the IAD setting
+  has programmatic rewards; trl uses a reward model or judge).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from iadr1_tpu.data.tokenize import IGNORE_INDEX
+from iadr1_tpu.train.grpo import GRPOTrainer, bundle_score_fn
+from iadr1_tpu.train.preference import DPOConfig, make_dpo_step
+from iadr1_tpu.train.rollout import RolloutEngine, SamplingConfig
+
+
+def rloo_advantages(rewards: np.ndarray, k: int,
+                    normalize: bool = False) -> np.ndarray:
+    """Leave-one-out advantages over consecutive groups of ``k``.
+
+    baseline_i = (sum - r_i)/(k-1); optional whitening over the whole
+    batch (rloo_trainer.py:432-439, normalize_advantage).
+    """
+    if k < 2:
+        raise ValueError("RLOO needs at least 2 generations per prompt")
+    r = rewards.reshape(-1, k).astype(np.float64)
+    baseline = (r.sum(axis=1, keepdims=True) - r) / (k - 1)
+    adv = (r - baseline).reshape(-1)
+    if normalize:
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+    return adv.astype(np.float32)
+
+
+class RLOOTrainer(GRPOTrainer):
+    """GRPO host loop with the RLOO leave-one-out baseline.
+
+    Set GRPOConfig.beta to trl's kl_coef for KL control (module note).
+    """
+
+    def __init__(self, *args, normalize_advantages: bool = False, **kw):
+        super().__init__(*args, **kw)
+        self.normalize_advantages = normalize_advantages
+
+    def compute_advantages(self, rewards: np.ndarray) -> np.ndarray:
+        return rloo_advantages(rewards, self.cfg.num_generations,
+                               self.normalize_advantages)
+
+
+class OnlineDPOTrainer:
+    """Host loop: rollout 2 completions/prompt -> score -> DPO update.
+
+    ``reward_funcs`` follow the reference reward signature (summed);
+    ``missing_eos_penalty`` subtracts from completions that never emitted
+    EOS (online_dpo_trainer.py:595-597; reward-model path only there,
+    always available here).
+    """
+
+    def __init__(self, bundle, tokenizer, optimizer, cfg: DPOConfig,
+                 reward_funcs: Sequence[Callable], state, ref_params,
+                 max_prompt_length: int = 512,
+                 max_completion_length: int = 128,
+                 sampling_overrides: dict | None = None, schedule=None,
+                 missing_eos_penalty: float | None = None):
+        self.bundle = bundle
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.reward_funcs = list(reward_funcs)
+        self.state = state
+        self.ref_params = ref_params
+        self.max_prompt_length = max_prompt_length
+        self.max_completion_length = max_completion_length
+        self.missing_eos_penalty = missing_eos_penalty
+        sampling_kw = dict(
+            max_new_tokens=max_completion_length,
+            # trl OnlineDPOConfig defaults: temperature 0.9, no truncation
+            temperature=0.9, top_p=1.0, top_k=0,
+            eos_token_id=tokenizer.eos_token_id,
+            pad_token_id=tokenizer.pad_token_id or tokenizer.eos_token_id,
+        )
+        sampling_kw.update(sampling_overrides or {})
+        sampling = SamplingConfig(**sampling_kw)
+        self.engine = RolloutEngine(
+            bundle, sampling,
+            max_len=max_prompt_length + max_completion_length,
+        )
+        self.update_step = make_dpo_step(
+            bundle_score_fn(bundle), optimizer, cfg, schedule
+        )
+        self._rng = jax.random.PRNGKey(0)
+        self.metrics_history: list[dict] = []
+
+    def _collate_prompts(self, examples):
+        P = self.max_prompt_length
+        pad = self.tokenizer.pad_token_id or self.tokenizer.eos_token_id
+        B = len(examples)
+        input_ids = np.full((B, P), pad, np.int32)
+        mask = np.zeros((B, P), np.int32)
+        for i, ex in enumerate(examples):
+            ids = ex["prompt_ids"][-P:]
+            input_ids[i, P - len(ids):] = ids
+            mask[i, P - len(ids):] = 1
+        batch = {"input_ids": jnp.asarray(input_ids),
+                 "attention_mask": jnp.asarray(mask)}
+        tcfg = getattr(self.bundle.cfg, "text", self.bundle.cfg)
+        if getattr(tcfg, "mrope_section", None) is not None:
+            # text-only prompts on an M-RoPE model (train/grpo.py note)
+            pos = np.clip(np.cumsum(mask, axis=1) - 1, 0, None)
+            batch["position_ids"] = jnp.asarray(
+                np.broadcast_to(pos, (3, B, P)).copy(), jnp.int32)
+            batch["mrope_deltas"] = jnp.asarray(pos[:, -1] + 1 - P,
+                                                jnp.int32)
+        return batch
+
+    def step(self, examples: Sequence[dict]) -> dict:
+        """examples: [{"prompt_ids": [...], "solution": str, ...extras}]."""
+        n = len(examples)
+        rollout_batch = self._collate_prompts(examples)
+        self._rng, sub = jax.random.split(self._rng)
+        rollout = self.engine.generate(self.state.params, rollout_batch,
+                                       sub, group_size=2)
+
+        completion_ids = np.asarray(rollout["completion_ids"])   # [2n, N]
+        completion_mask = np.asarray(rollout["completion_mask"])
+        texts = self.tokenizer.batch_decode(
+            [ids[m.astype(bool)]
+             for ids, m in zip(completion_ids, completion_mask)],
+            skip_special_tokens=True,
+        )
+        completions = [[{"role": "assistant", "content": t}] for t in texts]
+        reward_kwargs = {
+            k: [ex.get(k) for ex in examples for _ in range(2)]
+            for k in {k for ex in examples for k in ex if k != "prompt_ids"}
+        }
+        scores = np.zeros(2 * n)
+        for fn in self.reward_funcs:
+            scores += np.asarray(
+                fn(completions=completions, current_step=int(self.state.step),
+                   **reward_kwargs),
+                np.float64,
+            )
+        if self.missing_eos_penalty is not None:
+            no_eos = completion_mask.sum(axis=1) >= completion_ids.shape[1]
+            scores = scores - no_eos * self.missing_eos_penalty
+
+        # per-prompt pair: rows 2i (first sample) vs 2i+1; ties -> first
+        pair = scores.reshape(n, 2)
+        chosen_col = (pair[:, 1] > pair[:, 0]).astype(np.int64)
+        chosen_idx = 2 * np.arange(n) + chosen_col
+        rejected_idx = 2 * np.arange(n) + (1 - chosen_col)
+        order = np.concatenate([chosen_idx, rejected_idx])
+
+        prompt_ids = np.asarray(rollout["prompt_ids"])[order]
+        prompt_mask = np.asarray(rollout["prompt_mask"])[order]
+        comp_ids = completion_ids[order]
+        comp_mask = completion_mask[order]
+        full_ids = np.concatenate([prompt_ids, comp_ids], axis=1)
+        full_mask = np.concatenate([prompt_mask, comp_mask], axis=1)
+        P = prompt_ids.shape[1]
+        labels = np.where(
+            np.concatenate(
+                [np.zeros_like(prompt_mask), comp_mask], axis=1
+            ).astype(bool),
+            full_ids, IGNORE_INDEX,
+        )
+        positions = np.clip(np.cumsum(full_mask, axis=1) - 1, 0, None)
+        tcfg = getattr(self.bundle.cfg, "text", self.bundle.cfg)
+        if getattr(tcfg, "mrope_section", None) is not None:
+            positions = np.broadcast_to(
+                positions, (3,) + positions.shape).copy()
+        update_batch = {
+            "input_ids": jnp.asarray(full_ids, jnp.int32),
+            "labels": jnp.asarray(labels, jnp.int32),
+            "segment_ids": jnp.asarray(full_mask, jnp.int32),
+            "position_ids": jnp.asarray(positions, jnp.int32),
+        }
+        self.state, metrics = self.update_step(
+            self.state, self.ref_params, update_batch
+        )
+        out = {k: float(v) for k, v in metrics.items()}
+        out["objective/scores"] = float(scores.mean())
+        out["objective/scores_margin"] = float(
+            (pair.max(axis=1) - pair.min(axis=1)).mean()
+        )
+        out["completion_length"] = float(comp_mask.sum(axis=1).mean())
+        self.metrics_history.append(out)
+        return out

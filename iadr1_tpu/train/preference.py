@@ -47,7 +47,10 @@ def sequence_logps(hidden, head_kernel, labels, chunk_size: int = 1024):
 @dataclasses.dataclass(frozen=True)
 class DPOConfig:
     beta: float = 0.1                 # pref_beta (finetuning_args default)
-    loss_type: str = "sigmoid"        # sigmoid | hinge | ipo | orpo | simpo
+    # sigmoid | hinge | ipo | orpo | simpo | cpo
+    # cpo = reference-free sigmoid + ftx*NLL on chosen (trl
+    # cpo_trainer.py:638-676, cpo_alpha -> ftx; default alpha 1.0)
+    loss_type: str = "sigmoid"
     label_smoothing: float = 0.0      # dpo_label_smoothing
     simpo_gamma: float = 0.5          # reference finetuning_args default
     ftx: float = 0.0                  # sft-loss mixing weight (pref_ftx)
@@ -74,6 +77,12 @@ def preference_loss(cfg: DPOConfig, pol_c, pol_r, ref_c=None, ref_r=None):
     if cfg.loss_type == "simpo":
         logits = (pol_c - pol_r) - cfg.simpo_gamma / cfg.beta
         return -jax.nn.log_sigmoid(cfg.beta * logits)
+    if cfg.loss_type == "cpo":
+        logits = pol_c - pol_r   # reference-free (beta -> 0 limit)
+        return (
+            -jax.nn.log_sigmoid(cfg.beta * logits) * (1 - cfg.label_smoothing)
+            - jax.nn.log_sigmoid(-cfg.beta * logits) * cfg.label_smoothing
+        )
 
     logits = (pol_c - pol_r) - (ref_c - ref_r)
     if cfg.loss_type == "sigmoid":

@@ -155,3 +155,41 @@ def test_cli_pt_stage(checkpoint_dir, tmp_path):
     records = [json.loads(l) for l in
                open(os.path.join(out_dir, "trainer_log.jsonl"))]
     assert all(np.isfinite(r["loss"]) for r in records)
+
+
+def _prompt_dataset(tmp_path, name="prompts.json"):
+    rows = [
+        {"messages": [{"role": "user",
+                       "content": f"Are there defects in sample {i}?"}],
+         "solution": "<answer>No</answer>"}
+        for i in range(6)
+    ]
+    p = tmp_path / name
+    p.write_text(json.dumps(rows))
+    return str(p)
+
+
+def test_cli_rloo(checkpoint_dir, tmp_path):
+    records = _run(
+        "rloo", _prompt_dataset(tmp_path), checkpoint_dir, tmp_path,
+        extra={"reward_funcs": ["format", "accuracy"],
+               "num_generations": 2, "max_completion_length": 8,
+               "kl_coef": 0.02},
+    )
+    assert "reward" in records[0] and "kl" in records[0]
+
+
+def test_cli_online_dpo(checkpoint_dir, tmp_path):
+    records = _run(
+        "online_dpo", _prompt_dataset(tmp_path), checkpoint_dir, tmp_path,
+        extra={"reward_funcs": ["format", "accuracy"],
+               "max_completion_length": 8, "missing_eos_penalty": 0.1},
+    )
+    assert "rewards/accuracies" in records[0]
+    assert "objective/scores" in records[0]
+
+
+def test_cli_dpo_cpo_loss(checkpoint_dir, tmp_path):
+    records = _run("dpo", _ranking_dataset(tmp_path), checkpoint_dir,
+                   tmp_path, extra={"loss_type": "cpo", "ftx": 1.0})
+    assert "rewards/accuracies" in records[0]
