@@ -366,3 +366,63 @@ def test_registry_hub_sources(tmp_path):
         load_json_dataset(reg["ms_ds"])
     with _pytest.raises(ValueError, match="no file_name"):
         load_json_dataset(reg["hub_ds"].__class__(name="x"))
+
+
+def test_hub_fetcher_dispatch(tmp_path):
+    """Hub-backed dataset_info rows load through the injectable fetcher
+    registry (reference data/loader.py:44-150 load_from dispatch), fully
+    offline via a fake hub."""
+    import json as _json
+
+    from iadr1_tpu.data.registry import (
+        hub_source,
+        load_dataset_registry,
+        load_json_dataset,
+        register_hub_fetcher,
+    )
+
+    info = {
+        "remote_sft": {
+            "hf_hub_url": "org/expert-ad",
+            "subset": "stage1",
+            "split": "train",
+            "num_samples": 2,
+            "formatting": "sharegpt",
+        },
+        "ms_remote": {"ms_hub_url": "ms-org/data"},
+        "local": {"file_name": "rows.json"},
+    }
+    path = tmp_path / "dataset_info.json"
+    path.write_text(_json.dumps(info))
+    reg = load_dataset_registry(path)
+    attr = reg["remote_sft"]
+    assert hub_source(attr) == ("hf_hub", "org/expert-ad")
+    assert attr.subset == "stage1"
+    assert hub_source(reg["ms_remote"]) == ("ms_hub", "ms-org/data")
+    assert hub_source(reg["local"]) is None
+
+    calls = []
+
+    def fake_hub(a):
+        calls.append((a.name, a.subset, a.split))
+        return [{"conversations": [i]} for i in range(5)]
+
+    # per-call override
+    rows = load_json_dataset(attr, hub_fetcher=fake_hub)
+    assert rows == [{"conversations": [0]}, {"conversations": [1]}]  # num_samples=2
+    assert calls == [("remote_sft", "stage1", "train")]
+
+    # registry override + restore
+    prev = register_hub_fetcher("ms_hub", fake_hub)
+    try:
+        rows = load_json_dataset(reg["ms_remote"])
+        assert len(rows) == 5
+    finally:
+        register_hub_fetcher("ms_hub", prev)
+
+    # without datasets/network the default hf_hub fetcher raises a
+    # pointed error rather than hanging
+    import pytest as _pytest
+
+    with _pytest.raises((RuntimeError, Exception)):
+        load_json_dataset(reg["remote_sft"])
