@@ -237,6 +237,168 @@ def make_kto_step(score_fn, optimizer, cfg: KTOConfig, schedule=None):
 
 
 # ---------------------------------------------------------------------------
+# BCO (binary classifier optimization)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BCOConfig:
+    beta: float = 0.1
+    logp_chunk_size: int = 1024
+
+
+class RunningMoments:
+    """Host-side running mean of implicit rewards (the BCO reward-shift
+    delta; trl trainer/utils.py RunningMoments, bco_trainer.py:1142-1143).
+    Welford over batch aggregates so resume keeps the stream exact."""
+
+    def __init__(self):
+        self.mean = 0.0
+        self.var = 1.0
+        self.count = 1e-24
+
+    def update(self, batch_mean: float, batch_var: float, batch_count: float):
+        delta = batch_mean - self.mean
+        tot = self.count + batch_count
+        new_sum = batch_var * batch_count
+        old_sum = self.var * self.count + delta**2 * self.count * batch_count / tot
+        self.mean += delta * batch_count / tot
+        self.var = (old_sum + new_sum) / tot
+        self.count = tot
+        return self.mean
+
+    def state_dict(self) -> dict:
+        return {"mean": self.mean, "var": self.var, "count": self.count}
+
+    def load_state_dict(self, d: dict):
+        self.mean, self.var, self.count = d["mean"], d["var"], d["count"]
+
+
+def make_bco_step(score_fn, optimizer, cfg: BCOConfig, schedule=None):
+    """(state, ref_params, batch, delta) -> (new_state, metrics).
+
+    batch: target sequences (input_ids/labels/segment_ids/position_ids)
+    + ``tags`` [B] (1 = desirable); ``delta`` is the running mean of
+    implicit rewards maintained on host via RunningMoments (metrics carry
+    reward_mean/reward_var/reward_count for the update).  Loss per
+    trl bco_trainer.py:1108-1156: -logsigmoid(+-(beta*(pol-ref) - delta)).
+    """
+
+    def seq_logps(params, batch, aux):
+        hidden, kernel = score_fn(params, batch, aux)
+        seq, _ = sequence_logps(
+            hidden, kernel, batch["labels"], cfg.logp_chunk_size
+        )
+        return seq
+
+    def step(state, ref_params, batch, delta):
+        tags = batch["tags"].astype(jnp.float32)
+
+        def loss_fn(params):
+            pol = seq_logps(params, batch, ref_params)
+            ref = jax.lax.stop_gradient(
+                seq_logps(ref_params, batch, ref_params))
+            rewards = cfg.beta * (pol - ref)
+            chosen_losses = -jax.nn.log_sigmoid(rewards - delta)
+            rejected_losses = -jax.nn.log_sigmoid(-(rewards - delta))
+            losses = tags * chosen_losses + (1.0 - tags) * rejected_losses
+            loss = losses.mean()
+            n_des = jnp.maximum(tags.sum(), 1.0)
+            n_und = jnp.maximum((1 - tags).sum(), 1.0)
+            r_detached = jax.lax.stop_gradient(rewards)
+            return loss, {
+                "loss": loss, "delta": delta,
+                "rewards/chosen": (r_detached * tags).sum() / n_des,
+                "rewards/rejected": (r_detached * (1 - tags)).sum() / n_und,
+                "reward_mean": r_detached.mean(),
+                "reward_var": r_detached.var(),
+                "reward_count": jnp.asarray(
+                    r_detached.shape[0], jnp.float32),
+            }
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, optimizer)
+        if schedule is not None:
+            metrics["learning_rate"] = schedule(state.step)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# PRM (process reward model)
+# ---------------------------------------------------------------------------
+
+
+def encode_prm_example(prompt_ids: list[int], completions_ids: list[list[int]],
+                       step_labels: list[bool], separator_ids: list[int],
+                       train_on_last_step_only: bool = False):
+    """(input_ids, labels): per-step binary labels at each step's final
+    (separator) token, IGNORE_INDEX elsewhere (trl prm_trainer.py
+    tokenize_row:241-271)."""
+    labels = [int(x) for x in step_labels]
+    if train_on_last_step_only:
+        labels = [IGNORE_INDEX] * (len(labels) - 1) + [labels[-1]]
+    ids = list(prompt_ids)
+    lab = [IGNORE_INDEX] * len(prompt_ids)
+    for completion, label in zip(completions_ids, labels):
+        step = list(completion) + list(separator_ids)
+        ids += step
+        lab += [IGNORE_INDEX] * (len(step) - 1) + [label]
+    return ids, lab
+
+
+def init_prm_head(key, hidden_size: int, num_labels: int = 2,
+                  dtype=jnp.float32) -> dict:
+    return {
+        "kernel": jax.random.normal(key, (hidden_size, num_labels), dtype)
+        * 0.01,
+        "bias": jnp.zeros((num_labels,), dtype),
+    }
+
+
+def make_prm_step(hidden_fn, optimizer, schedule=None):
+    """(state, batch) -> (new_state, metrics): token classification over
+    step-separator positions (trl PRMTrainer = AutoModelForTokenClassifi-
+    cation + CE on labeled positions).  state.params = {"model": ...,
+    "prm_head": init_prm_head(...)}; batch labels [B, T] hold 0/1 at each
+    step's last token and IGNORE_INDEX elsewhere."""
+
+    def step(state, batch):
+        labels = batch["labels"]
+        mask = labels != IGNORE_INDEX
+        safe = jnp.where(mask, labels, 0)
+
+        def loss_fn(params):
+            hidden = hidden_fn(params["model"], batch)
+            logits = (
+                hidden.astype(jnp.float32) @ params["prm_head"]["kernel"]
+                + params["prm_head"]["bias"]
+            )                                             # [B, T, n_labels]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+            n = jnp.maximum(mask.sum(), 1)
+            loss = -(jnp.where(mask, tok, 0.0).sum() / n)
+            acc = (
+                jnp.where(mask, logits.argmax(-1) == safe, False).sum() / n
+            )
+            return loss, {"loss": loss, "accuracy": acc,
+                          "n_label_tokens": n}
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads, optimizer)
+        if schedule is not None:
+            metrics["learning_rate"] = schedule(state.step)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
 # pairwise reward model
 # ---------------------------------------------------------------------------
 

@@ -87,6 +87,27 @@ class RolloutEngine:
                               lora_scale=lora_scale),
             static_argnames=("group_size",),
         )
+        self._mixture_jits: dict = {}
+
+    def generate_mixture(self, params, mixture_params, mixture_coef: float,
+                         batch, rng) -> dict:
+        """Sample from the geometric mixture of two policies: per-step
+        logits = (1-c)*log_softmax(policy) + c*log_softmax(mixture) (trl
+        GeometricMixtureWrapper, models/modeling_base.py; Nash-MD's
+        mixture opponent).  Both models share the batch; each keeps its
+        own KV cache."""
+        key = float(mixture_coef)
+        if key not in self._mixture_jits:
+            self._mixture_jits[key] = jax.jit(
+                functools.partial(
+                    _generate_impl, bundle=self.bundle,
+                    sampling=self.sampling, max_len=self.max_len,
+                    cache_dtype=self.cache_dtype, mixture_coef=key,
+                ),
+                static_argnames=("group_size",),
+            )
+        return self._mixture_jits[key](params, batch, rng, None,
+                                       mixture_params)
 
     def generate(self, params, batch, rng, lora=None,
                  group_size: int = 1) -> dict:
@@ -106,9 +127,10 @@ class RolloutEngine:
                               group_size=group_size)
 
 
-def _generate_impl(params, batch, rng, lora=None, *, bundle,
-                   sampling: SamplingConfig, max_len: int, cache_dtype,
-                   lora_scale: float = 1.0, group_size: int = 1):
+def _generate_impl(params, batch, rng, lora=None, mixture_params=None, *,
+                   bundle, sampling: SamplingConfig, max_len: int,
+                   cache_dtype, lora_scale: float = 1.0,
+                   group_size: int = 1, mixture_coef: float = 0.0):
     from iadr1_tpu.models import qwen2
 
     lora_kw = {"lora": lora, "lora_scale": lora_scale} if lora is not None else {}
@@ -143,6 +165,23 @@ def _generate_impl(params, batch, rng, lora=None, *, bundle,
 
     last_logits = logits_fn(hidden[:, -1:, :])[:, 0]          # [B, V]
 
+    if mixture_params is not None:
+        # geometric mixture opponent: second model, own KV cache; logits
+        # combine per step below (Nash-MD, trl GeometricMixtureWrapper)
+        mix_cache = qwen2.init_cache(tcfg, B, max_len, cache_dtype)
+        mix_hidden, mix_cache = bundle.apply(
+            mixture_params, prefill_batch, cache=mix_cache,
+            cache_mode="prefill",
+        )
+        mix_logits_fn = lambda h: bundle.logits_fn(mixture_params, h)
+        mix_last = mix_logits_fn(mix_hidden[:, -1:, :])[:, 0]
+        last_logits = (
+            (1.0 - mixture_coef) * jax.nn.log_softmax(last_logits, axis=-1)
+            + mixture_coef * jax.nn.log_softmax(mix_last, axis=-1)
+        )
+
+    if group_size > 1 and mixture_params is not None:
+        raise ValueError("mixture sampling does not support group_size > 1")
     if group_size > 1:
         # prefix caching: the prompt (and its vision tower pass) was
         # prefilled once; fan the KV cache out G ways for G samples
@@ -167,7 +206,7 @@ def _generate_impl(params, batch, rng, lora=None, *, bundle,
     pad = sampling.pad_token_id
 
     def body(carry, step_rng):
-        cache, token, done, t = carry
+        cache, mcache, token, done, t = carry
         token_in = jnp.where(done, pad, token)
         # positions: all three mrope axes advance together after the prompt
         pos_t = (P + deltas + t).astype(jnp.int32)[:, None]   # [B, 1]
@@ -175,23 +214,37 @@ def _generate_impl(params, batch, rng, lora=None, *, bundle,
             jnp.broadcast_to(pos_t, (3, B, 1)) if mrope else pos_t
         )
         seg = jnp.where(done, 0, 1).astype(jnp.int32)[:, None]
+        dec_batch = {"input_ids": token_in[:, None], "position_ids": pos,
+                     "segment_ids": seg}
         hidden, new_cache = bundle.apply(
-            params,
-            {"input_ids": token_in[:, None], "position_ids": pos,
-             "segment_ids": seg},
-            cache=cache, cache_mode="decode", **lora_kw,
+            params, dec_batch, cache=cache, cache_mode="decode", **lora_kw,
         )
         logits = logits_fn(hidden)[:, 0]
+        if mixture_params is not None:
+            mh, new_mcache = bundle.apply(
+                mixture_params, dec_batch, cache=mcache,
+                cache_mode="decode",
+            )
+            logits = (
+                (1.0 - mixture_coef) * jax.nn.log_softmax(logits, axis=-1)
+                + mixture_coef
+                * jax.nn.log_softmax(mix_logits_fn(mh)[:, 0], axis=-1)
+            )
+        else:
+            new_mcache = mcache
         next_token = sample_token(step_rng, logits, sampling)
         emitted = jnp.where(done, pad, token)
         new_done = done | (token == eos)
         next_token = jnp.where(new_done, pad, next_token)
-        return (new_cache, next_token, new_done, t + 1), emitted
+        return (new_cache, new_mcache, next_token, new_done, t + 1), emitted
 
     rngs = jax.random.split(rng, sampling.max_new_tokens)
     done0 = jnp.zeros((B,), bool)
-    (cache, _, done, _), tokens = jax.lax.scan(
-        body, (cache, first_token, done0, jnp.zeros((), jnp.int32)), rngs
+    mix_cache0 = mix_cache if mixture_params is not None else None
+    (cache, _, _, done, _), tokens = jax.lax.scan(
+        body,
+        (cache, mix_cache0, first_token, done0, jnp.zeros((), jnp.int32)),
+        rngs,
     )
     completion_ids = tokens.T                                  # [B, max_new]
 

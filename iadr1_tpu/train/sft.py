@@ -182,3 +182,81 @@ def make_sft_step(
 def optax_global_norm(tree) -> jax.Array:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+class IterativeSFTTrainer:
+    """Step-at-a-time SFT on caller-provided samples.
+
+    Counterpart of the reference's vendored trl IterativeSFTTrainer
+    (trl/trl/trainer/iterative_sft_trainer.py): the caller drives the
+    loop -- generate / filter / edit samples however it likes between
+    optimization steps -- and hands either token ids or raw texts to
+    ``step``.  Prompt-masking is the caller's job (pass ``labels``),
+    matching trl's input contract.
+    """
+
+    def __init__(self, bundle, tokenizer, optimizer, schedule=None,
+                 state=None, max_length: int = 512, ce_chunk: int = 1024):
+        import jax
+
+        from iadr1_tpu.train.state import create_train_state
+
+        self.bundle = bundle
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        if state is None:
+            params = bundle.init_params(jax.random.PRNGKey(0))
+            state = create_train_state(params, optimizer)
+        self.state = state
+        self.update = make_chunked_sft_step(
+            bundle.hidden_fn, bundle.head_kernel_fn, optimizer, schedule,
+            chunk_size=ce_chunk,
+        )
+        self.metrics_history: list[dict] = []
+
+    def step(self, input_ids=None, labels=None, texts=None) -> dict:
+        """One optimization step on a list of samples.
+
+        Either ``texts`` (list[str]; tokenized here, all tokens labeled)
+        or ``input_ids`` (list[list[int]], with optional per-token
+        ``labels`` defaulting to the inputs) -- trl's dual interface.
+        """
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from iadr1_tpu.data.tokenize import IGNORE_INDEX
+
+        if texts is not None:
+            input_ids = [
+                self.tokenizer.encode(t, add_special_tokens=False)[
+                    : self.max_length
+                ]
+                for t in texts
+            ]
+        if input_ids is None:
+            raise ValueError("provide texts or input_ids")
+        if labels is None:
+            labels = input_ids
+        pad = self.tokenizer.pad_token_id or 0
+        B = len(input_ids)
+        T = min(self.max_length, max(len(x) for x in input_ids))
+        ids = np.full((B, T), pad, np.int64)
+        lab = np.full((B, T), IGNORE_INDEX, np.int64)
+        segs = np.zeros((B, T), np.int32)
+        for i, (x, y) in enumerate(zip(input_ids, labels)):
+            x, y = list(x)[:T], list(y)[:T]
+            ids[i, : len(x)] = x
+            lab[i, : len(y)] = y
+            segs[i, : len(x)] = 1
+        batch = {
+            "input_ids": jnp.asarray(ids, jnp.int32),
+            "labels": jnp.asarray(lab, jnp.int32),
+            "segment_ids": jnp.asarray(segs),
+            "position_ids": jnp.asarray(
+                np.broadcast_to(np.arange(T), (B, T)).copy(), jnp.int32),
+        }
+        self.state, metrics = self.update(self.state, batch)
+        out = {k: float(v) for k, v in metrics.items()}
+        self.metrics_history.append(out)
+        return out
