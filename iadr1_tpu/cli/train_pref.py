@@ -43,6 +43,14 @@ class PrefSection:
     max_completion_length: int = 128
     kl_coef: float = 0.05             # rloo KL (runs through k3 beta)
     missing_eos_penalty: float = 0.0  # online_dpo; 0 disables
+    xpo_alpha: float = 1e-5           # xpo exploration coefficient
+    mixture_coef: float = 0.5         # nash_md mixture opponent weight
+    # bco/prm/gkd
+    step_separator: str = "\n\n"      # prm step separator (trl default)
+    gkd_beta: float = 0.5             # gkd JSD interpolant
+    gkd_lmbda: float = 0.5            # gkd on-policy fraction
+    gkd_temperature: float = 0.9
+    teacher_model_name_or_path: str = ""   # gkd teacher checkpoint
     desirable_weight: float = 1.0     # kto
     undesirable_weight: float = 1.0   # kto
     ref_dtype: str = "bfloat16"
@@ -131,8 +139,10 @@ def main(argv=None):
     opt_cfg = dataclass_from_dict(OptimizerConfig, cfg.optim)
     if not opt_cfg.total_steps:
         opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)
-    if cfg.stage not in ("dpo", "kto", "rm", "ppo", "rloo", "online_dpo"):
-        raise ValueError(f"unknown stage {cfg.stage!r}")
+    _STAGES = ("dpo", "kto", "rm", "ppo", "rloo", "online_dpo", "xpo",
+               "nash_md", "bco", "prm", "gkd")
+    if cfg.stage not in _STAGES:
+        raise ValueError(f"unknown stage {cfg.stage!r}; one of {_STAGES}")
 
     model_cfg = cfg.model
     dtype = getattr(jnp, model_cfg.get("dtype", "float32"))
@@ -158,12 +168,20 @@ def main(argv=None):
         raw = raw[: cfg.data.max_samples]
 
     T = cfg.data.cutoff_len
-    if cfg.stage in ("rloo", "online_dpo"):
+    if cfg.stage in ("rloo", "online_dpo", "xpo", "nash_md"):
         # prompts-only rows, rollout-scored (trl rloo_trainer.py /
-        # online_dpo_trainer.py; rewards stand in for the reward model)
+        # online_dpo_trainer.py / xpo_trainer.py / nash_md_trainer.py;
+        # rewards stand in for the reward model / pairwise judge)
         from iadr1_tpu.rewards import get_reward_funcs
         from iadr1_tpu.train.grpo import GRPOConfig
-        from iadr1_tpu.train.online_rl import OnlineDPOTrainer, RLOOTrainer
+        from iadr1_tpu.train.online_rl import (
+            NashMDConfig,
+            NashMDTrainer,
+            OnlineDPOTrainer,
+            RLOOTrainer,
+            XPOConfig,
+            XPOTrainer,
+        )
 
         examples = []
         for row in raw:
@@ -195,6 +213,23 @@ def main(argv=None):
             trainer = RLOOTrainer(bundle, tokenizer, optimizer, gcfg,
                                   funcs, state, ref_params,
                                   schedule=schedule)
+        elif cfg.stage == "xpo":
+            trainer = XPOTrainer(
+                bundle, tokenizer, optimizer,
+                XPOConfig(beta=cfg.pref.beta, alpha=cfg.pref.xpo_alpha),
+                funcs, state, ref_params, max_prompt_length=T,
+                max_completion_length=cfg.pref.max_completion_length,
+                schedule=schedule,
+            )
+        elif cfg.stage == "nash_md":
+            trainer = NashMDTrainer(
+                bundle, tokenizer, optimizer,
+                NashMDConfig(beta=cfg.pref.beta,
+                             mixture_coef=cfg.pref.mixture_coef),
+                funcs, state, ref_params, max_prompt_length=T,
+                max_completion_length=cfg.pref.max_completion_length,
+                schedule=schedule,
+            )
         else:
             dcfg = DPOConfig(beta=cfg.pref.beta,
                              loss_type=cfg.pref.loss_type,
@@ -207,6 +242,69 @@ def main(argv=None):
                 missing_eos_penalty=cfg.pref.missing_eos_penalty or None,
             )
 
+        logger = JsonlLogger(loop_cfg.output_dir, loop_cfg.max_steps)
+        ckpt = CheckpointManager(
+            os.path.join(loop_cfg.output_dir, "checkpoints"),
+            max_to_keep=loop_cfg.keep_checkpoints,
+        )
+        rng = np.random.default_rng(loop_cfg.seed)
+        bs = max(loop_cfg.batch_size, 1)
+        for step_idx in range(1, loop_cfg.max_steps + 1):
+            idx = rng.choice(len(examples), size=min(bs, len(examples)),
+                             replace=False)
+            metrics = trainer.step([examples[i] for i in idx])
+            if step_idx % max(loop_cfg.logging_steps, 1) == 0:
+                logger.log(step_idx, metrics)
+            if loop_cfg.save_steps and step_idx % loop_cfg.save_steps == 0:
+                ckpt.save(step_idx, trainer.state)
+        ckpt.save(loop_cfg.max_steps, trainer.state)
+        ckpt.wait()
+        logger.close()
+        return 0
+
+    if cfg.stage == "gkd":
+        # {messages} rows: last assistant turn is the dataset completion;
+        # with prob lmbda the student generates its own (gkd_trainer.py)
+        from iadr1_tpu.train.gkd import GKDConfig, GKDTrainer
+
+        teacher_path = cfg.pref.teacher_model_name_or_path
+        if not teacher_path:
+            raise ValueError("stage=gkd needs pref.teacher_model_name_or_path")
+        teacher_bundle = bundle_from_pretrained(teacher_path,
+                                                attention=attention)
+        teacher_params = teacher_bundle.convert_hf(
+            load_safetensors_path(teacher_path), dtype=dtype)
+
+        examples = []
+        for row in raw:
+            messages = row.get("messages", row.get("conversations"))
+            completion = ""
+            if messages and messages[-1].get("role") == "assistant":
+                completion = messages[-1]["content"]
+                messages = messages[:-1]
+            examples.append({
+                "prompt_ids": template.encode_prompt(
+                    tokenizer, messages, system=row.get("system")),
+                "completion_ids": tokenizer.encode(
+                    completion, add_special_tokens=False),
+            })
+
+        mesh = build_mesh(dataclass_from_dict(MeshConfig, cfg.mesh))
+        params = jax.device_put(
+            params, pytree_shardings(bundle.logical_axes(), mesh))
+        teacher_params = jax.device_put(
+            teacher_params,
+            pytree_shardings(teacher_bundle.logical_axes(), mesh))
+        optimizer, schedule = make_optimizer(opt_cfg)
+        state = create_sharded_state(params, optimizer)
+        gkd_cfg = GKDConfig(
+            beta=cfg.pref.gkd_beta, temperature=cfg.pref.gkd_temperature,
+            lmbda=cfg.pref.gkd_lmbda, max_prompt_length=T,
+            max_completion_length=cfg.pref.max_completion_length,
+        )
+        trainer = GKDTrainer(bundle, teacher_bundle, tokenizer, optimizer,
+                             gkd_cfg, state, teacher_params,
+                             schedule=schedule, seed=loop_cfg.seed)
         logger = JsonlLogger(loop_cfg.output_dir, loop_cfg.max_steps)
         ckpt = CheckpointManager(
             os.path.join(loop_cfg.output_dir, "checkpoints"),
@@ -316,6 +414,56 @@ def main(argv=None):
                     "labels": jnp.asarray(labels),
                     "segment_ids": jnp.asarray(segs),
                     "position_ids": jnp.asarray(pos)}
+    elif cfg.stage == "bco":
+        # feedback rows like kto ({messages, label}) but no mismatched KL
+        # sequences -- BCO's baseline is the running reward delta
+        encoded, tags = [], []
+        for row in raw:
+            messages = row.get("messages", row.get("conversations"))
+            encoded.append(encode_supervised_example(
+                messages, template, tokenizer, system=row.get("system"),
+                cutoff_len=T))
+            tags.append(bool(row.get("label", row.get("kto_tag", True))))
+        tags = np.asarray(tags)
+
+        def collate(idx):
+            rows = [encoded[i] for i in idx]
+            ids, labels, segs, pos = _pad_rows(rows, pad_id, T)
+            return {"input_ids": jnp.asarray(ids),
+                    "labels": jnp.asarray(labels),
+                    "segment_ids": jnp.asarray(segs),
+                    "position_ids": jnp.asarray(pos),
+                    "tags": jnp.asarray(tags[idx].astype(np.int32))}
+    elif cfg.stage == "prm":
+        # stepwise rows: {"prompt": str | messages, "completions":
+        # [str, ...], "labels": [bool, ...]} (trl prm_trainer.py)
+        from iadr1_tpu.train.preference import encode_prm_example
+
+        sep_ids = tokenizer.encode(cfg.pref.step_separator,
+                                   add_special_tokens=False)
+        encoded = []
+        for row in raw:
+            prompt = row["prompt"]
+            if isinstance(prompt, list):
+                prompt_ids = template.encode_prompt(tokenizer, prompt)
+            else:
+                prompt_ids = tokenizer.encode(prompt,
+                                              add_special_tokens=False)
+            completions_ids = [
+                tokenizer.encode(c, add_special_tokens=False)
+                for c in row["completions"]
+            ]
+            ids, labels = encode_prm_example(
+                prompt_ids, completions_ids, row["labels"], sep_ids)
+            encoded.append((ids[:T], labels[:T]))
+
+        def collate(idx):
+            rows = [encoded[i] for i in idx]
+            ids, labels, segs, pos = _pad_rows(rows, pad_id, T)
+            return {"input_ids": jnp.asarray(ids),
+                    "labels": jnp.asarray(labels),
+                    "segment_ids": jnp.asarray(segs),
+                    "position_ids": jnp.asarray(pos)}
     else:  # kto
         encoded, tags = [], []
         for row in raw:
@@ -358,6 +506,28 @@ def main(argv=None):
         step = make_rm_step(
             lambda p, b: bundle.hidden_fn(p, b), optimizer, schedule)
         ref_params = None
+    elif cfg.stage == "prm":
+        from iadr1_tpu.train.preference import init_prm_head, make_prm_step
+
+        tcfg = getattr(bundle.cfg, "text", bundle.cfg)
+        full_params = {
+            "model": params,
+            "prm_head": init_prm_head(
+                jax.random.PRNGKey(1), tcfg.hidden_size, dtype=dtype),
+        }
+        state = create_sharded_state(full_params, optimizer)
+        step = make_prm_step(
+            lambda p, b: bundle.hidden_fn(p, b), optimizer, schedule)
+        ref_params = None
+    elif cfg.stage == "bco":
+        from iadr1_tpu.train.preference import BCOConfig, make_bco_step
+
+        state = create_sharded_state(params, optimizer)
+        ref_dtype = getattr(jnp, cfg.pref.ref_dtype)
+        ref_params = jax.tree.map(lambda x: x.astype(ref_dtype), params)
+        step = make_bco_step(
+            bundle_score_fn(bundle), optimizer,
+            BCOConfig(beta=cfg.pref.beta), schedule)
     else:
         state = create_sharded_state(params, optimizer)
         ref_dtype = getattr(jnp, cfg.pref.ref_dtype)
@@ -391,11 +561,21 @@ def main(argv=None):
     rng = np.random.default_rng(loop_cfg.seed)
     n = len(raw)
     bs = max(loop_cfg.batch_size, 1)
+    if cfg.stage == "bco":
+        from iadr1_tpu.train.preference import RunningMoments
+
+        running = RunningMoments()
     for step_idx in range(1, loop_cfg.max_steps + 1):
         idx = rng.choice(n, size=min(bs, n), replace=False)
         batch = collate(idx)
-        if cfg.stage == "rm":
+        if cfg.stage in ("rm", "prm"):
             state, metrics = step(state, batch)
+        elif cfg.stage == "bco":
+            state, metrics = step(state, ref_params, batch,
+                                  jnp.asarray(running.mean, jnp.float32))
+            running.update(float(metrics["reward_mean"]),
+                           float(metrics["reward_var"]),
+                           float(metrics["reward_count"]))
         else:
             state, metrics = step(state, ref_params, batch)
         if step_idx % max(loop_cfg.logging_steps, 1) == 0:

@@ -182,12 +182,19 @@ class GKDTrainer:
         on_policy = float(self._host_rng.random()) <= cfg.lmbda
         if on_policy:
             self._rng, sub = jax.random.split(self._rng)
-            rollout = self.engine.generate(
-                self.state.params,
-                {"input_ids": jnp.asarray(prompt_ids),
-                 "attention_mask": jnp.asarray(prompt_mask)},
-                sub,
-            )
+            rollout_batch = {"input_ids": jnp.asarray(prompt_ids),
+                             "attention_mask": jnp.asarray(prompt_mask)}
+            tcfg = getattr(self.bundle.cfg, "text", self.bundle.cfg)
+            if getattr(tcfg, "mrope_section", None) is not None:
+                # text-only prompts on an M-RoPE model (train/grpo.py note)
+                B, P = prompt_ids.shape
+                pos = np.clip(np.cumsum(prompt_mask, axis=1) - 1, 0, None)
+                rollout_batch["position_ids"] = jnp.asarray(
+                    np.broadcast_to(pos, (3, B, P)).copy(), jnp.int32)
+                rollout_batch["mrope_deltas"] = jnp.asarray(
+                    pos[:, -1] + 1 - P, jnp.int32)
+            rollout = self.engine.generate(self.state.params, rollout_batch,
+                                           sub)
             comp_ids = np.asarray(rollout["completion_ids"])
             comp_mask = np.asarray(rollout["completion_mask"])
         else:

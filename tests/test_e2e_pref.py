@@ -193,3 +193,61 @@ def test_cli_dpo_cpo_loss(checkpoint_dir, tmp_path):
     records = _run("dpo", _ranking_dataset(tmp_path), checkpoint_dir,
                    tmp_path, extra={"loss_type": "cpo", "ftx": 1.0})
     assert "rewards/accuracies" in records[0]
+
+
+def test_cli_bco(checkpoint_dir, tmp_path):
+    records = _run("bco", _feedback_dataset(tmp_path), checkpoint_dir,
+                   tmp_path)
+    assert "rewards/chosen" in records[0]
+    assert "delta" in records[0]
+
+
+def test_cli_prm(checkpoint_dir, tmp_path):
+    rows = [
+        {"prompt": f"Inspect sample {i}.",
+         "completions": ["Step one looks clean", "so no defect"],
+         "labels": [True, bool(i % 2)]}
+        for i in range(6)
+    ]
+    p = tmp_path / "prm_data.json"
+    p.write_text(json.dumps(rows))
+    records = _run("prm", str(p), checkpoint_dir, tmp_path)
+    assert "accuracy" in records[0]
+    assert all(r["n_label_tokens"] > 0 for r in records)
+
+
+def test_cli_xpo(checkpoint_dir, tmp_path):
+    records = _run(
+        "xpo", _prompt_dataset(tmp_path), checkpoint_dir, tmp_path,
+        extra={"reward_funcs": ["format", "accuracy"],
+               "max_completion_length": 8, "xpo_alpha": 1e-4},
+    )
+    assert "loss/xpo" in records[0] and "loss/dpo" in records[0]
+
+
+def test_cli_nash_md(checkpoint_dir, tmp_path):
+    records = _run(
+        "nash_md", _prompt_dataset(tmp_path), checkpoint_dir, tmp_path,
+        extra={"reward_funcs": ["format", "accuracy"],
+               "max_completion_length": 8, "mixture_coef": 0.5},
+    )
+    assert "objective/probability" in records[0]
+
+
+def test_cli_gkd(checkpoint_dir, tmp_path):
+    rows = [
+        {"messages": [
+            {"role": "user", "content": f"Check sample {i}."},
+            {"role": "assistant", "content": "<answer>No</answer>"},
+        ]}
+        for i in range(6)
+    ]
+    p = tmp_path / "gkd_data.json"
+    p.write_text(json.dumps(rows))
+    records = _run(
+        "gkd", str(p), checkpoint_dir, tmp_path,
+        extra={"teacher_model_name_or_path": checkpoint_dir,
+               "max_completion_length": 8, "gkd_lmbda": 0.5},
+    )
+    assert all(np.isfinite(r["loss"]) for r in records)
+    assert "on_policy" in records[0]
