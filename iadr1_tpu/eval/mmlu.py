@@ -23,26 +23,42 @@ import numpy as np
 
 CHOICES = ("A", "B", "C", "D")
 
-# the reference eval template for lang=en (eval/template.py registry)
-EN_SYSTEM = (
-    "The following are multiple choice questions (with answers) about "
-    "{subject}.\n\n"
-)
-EN_CHOICE = "\n{choice}. {content}"
-EN_ANSWER = "\nAnswer:"
+# the reference eval templates (eval/template.py registry): "en" for
+# MMLU, "zh" for CMMLU / C-Eval
+EVAL_TEMPLATES = {
+    "en": dict(
+        system=("The following are multiple choice questions (with "
+                "answers) about {subject}.\n\n"),
+        choice="\n{choice}. {content}",
+        answer="\nAnswer:",
+    ),
+    "zh": dict(
+        system="以下是中国关于{subject}考试的单项选择题，请选出其中的正确答案。\n\n",
+        choice="\n{choice}. {content}",
+        answer="\n答案：",
+    ),
+}
+
+# kept for compatibility with earlier call sites
+EN_SYSTEM = EVAL_TEMPLATES["en"]["system"]
+EN_CHOICE = EVAL_TEMPLATES["en"]["choice"]
+EN_ANSWER = EVAL_TEMPLATES["en"]["answer"]
 
 
 def format_example(example: dict, support_set: Sequence[dict],
-                   subject_name: str) -> tuple[str, str]:
+                   subject_name: str, lang: str = "en") -> tuple[str, str]:
     """(prompt_text, answer_letter) with n-shot support examples inlined
-    (eval/template.py _parse_example + format_example)."""
+    (eval/template.py _parse_example + format_example); ``lang`` picks the
+    en (MMLU) or zh (CMMLU/C-Eval) template."""
+    tpl = EVAL_TEMPLATES[lang]
 
     def one(ex):
-        cands = [EN_CHOICE.format(choice=c, content=ex[c])
+        cands = [tpl["choice"].format(choice=c, content=ex[c])
                  for c in CHOICES if c in ex]
-        return "".join([ex["question"]] + cands + [EN_ANSWER]), ex["answer"]
+        return ("".join([ex["question"]] + cands + [tpl["answer"]]),
+                ex["answer"])
 
-    parts = [EN_SYSTEM.format(subject=subject_name)]
+    parts = [tpl["system"].format(subject=subject_name)]
     for ex in support_set:
         p, a = one(ex)
         parts.append(p + " " + a + "\n\n")
@@ -113,7 +129,8 @@ class MMLUEvaluator:
         return out
 
     def eval_task(self, task_dir: str, split: str = "test", n_shot: int = 0,
-                  save_dir: str | None = None, seed: int = 42) -> dict:
+                  save_dir: str | None = None, seed: int = 42,
+                  lang: str = "en") -> dict:
         """Evaluate every ``<subject>.json`` under task_dir; returns and
         optionally saves per-category accuracies (evaluator.py:78-124)."""
         mapping_path = os.path.join(task_dir, "mapping.json")
@@ -140,7 +157,8 @@ class MMLUEvaluator:
                     support = [train[int(k)] for k in pick]
                 else:
                     support = []
-                p, a = format_example(ex, support, meta.get("name", subject))
+                p, a = format_example(ex, support, meta.get("name", subject),
+                                      lang=lang)
                 prompts.append(p)
                 labels.append(a)
             preds = self.predict(prompts)

@@ -117,3 +117,16 @@ def test_mmlu_evaluator(tmp_path):
     assert "anomaly" in saved["results"]
     preds = list(saved["results"]["anomaly"].values())
     assert all(p in "ABCD" for p in preds)
+
+
+def test_zh_eval_template():
+    """CMMLU / C-Eval use the zh template (reference eval/template.py:74-79)."""
+    from iadr1_tpu.eval.mmlu import format_example
+
+    ex = {"question": "题目", "A": "甲", "B": "乙", "answer": "B"}
+    p, a = format_example(ex, [], "数学", lang="zh")
+    assert p == (
+        "以下是中国关于数学考试的单项选择题，请选出其中的正确答案。\n\n"
+        "题目\nA. 甲\nB. 乙\n答案："
+    )
+    assert a == "B"
