@@ -47,6 +47,19 @@ class GRPOConfig:
     max_completion_length: int = 512
     scale_rewards: bool = True        # divide by group std
     logp_chunk_size: int = 1024       # LM-head chunking for logp scoring
+    # upstream-trl GRPO features (grpo_trainer.py _compute_loss:1182-1234;
+    # the SC-GRPO reference runs the defaults: 1 on-policy iteration, no
+    # effective clipping, per-sequence token mean):
+    # * num_iterations (mu): update passes per rollout; >1 makes the step
+    #   off-policy against the generation-time logps, engaging epsilon
+    # * epsilon / epsilon_high: PPO-style ratio clipping bounds
+    # * loss_type: "grpo" (per-seq mean of token losses, then mean),
+    #   "bnpo" (token sum / total tokens), "dr_grpo" (token sum /
+    #   (B * max_completion_length))
+    num_iterations: int = 1
+    epsilon: float = 0.2
+    epsilon_high: "float | None" = None
+    loss_type: str = "grpo"
     # TR-DPO-style periodic ref refresh (trl GRPOConfig sync_ref_model /
     # ref_model_mixup_alpha / ref_model_sync_steps, grpo_config.py:140-152):
     # every sync_steps, ref <- alpha*policy + (1-alpha)*ref
@@ -171,6 +184,9 @@ def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
             return completion_logps(ref_score_fn, ref_params, batch,
                                     cfg.logp_chunk_size, aux=aux)
 
+    eps_low = cfg.epsilon
+    eps_high = cfg.epsilon_high if cfg.epsilon_high is not None else cfg.epsilon
+
     def step(state, ref_params, batch):
         completion_mask = batch["completion_mask"].astype(jnp.float32)
 
@@ -183,15 +199,38 @@ def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
             kl = jnp.exp(ref_logps - logps) - (ref_logps - logps) - 1.0
 
             adv = batch["advantages"][:, None]
-            ratio = jnp.exp(logps - jax.lax.stop_gradient(logps))
-            per_token = -(ratio * adv - cfg.beta * kl)
+            # off-policy iterations (mu > 1) score against the generation-
+            # time logps carried in the batch; on-policy falls back to the
+            # detached current logps (ratio == 1, clipping inert) -- the
+            # reference SC-GRPO path (sc_grpo_trainer.py:796-798)
+            old_logps = batch.get("old_logps")
+            if old_logps is None:
+                old_logps = jax.lax.stop_gradient(logps)
+            coef1 = jnp.exp(logps - old_logps)
+            coef2 = jnp.clip(coef1, 1.0 - eps_low, 1.0 + eps_high)
+            pg = jnp.minimum(coef1 * adv, coef2 * adv)
+            per_token = -(pg - cfg.beta * kl)
 
             denom = jnp.maximum(completion_mask.sum(axis=1), 1.0)
-            seq_loss = (per_token * completion_mask).sum(axis=1) / denom
-            loss = seq_loss.mean()
+            if cfg.loss_type == "grpo":
+                seq_loss = (per_token * completion_mask).sum(axis=1) / denom
+                loss = seq_loss.mean()
+            elif cfg.loss_type == "bnpo":
+                loss = (per_token * completion_mask).sum() / jnp.maximum(
+                    completion_mask.sum(), 1.0)
+            elif cfg.loss_type == "dr_grpo":
+                loss = (per_token * completion_mask).sum() / (
+                    completion_mask.shape[0] * cfg.max_completion_length)
+            else:
+                raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
 
             mean_kl = ((kl * completion_mask).sum(axis=1) / denom).mean()
-            return loss, {"loss": loss, "kl": mean_kl}
+            clip_frac = (
+                (jnp.abs(coef1 - coef2) > 1e-9).astype(jnp.float32)
+                * completion_mask
+            ).sum() / jnp.maximum(completion_mask.sum(), 1.0)
+            return loss, {"loss": loss, "kl": mean_kl,
+                          "clip_ratio": clip_frac}
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -203,6 +242,21 @@ def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_grpo_logps_eval(score_fn, cfg: "GRPOConfig", logps_fn=None):
+    """jit'd (params, ref_params, batch) -> [B, N] generation-time logps,
+    used to snapshot ``old_logps`` before mu-iteration updates (trl
+    grpo_trainer.py:903-1010 _generate_and_score_completions)."""
+    if logps_fn is None:
+        def logps_fn(params, batch, aux):
+            return completion_logps(score_fn, params, batch,
+                                    cfg.logp_chunk_size, aux=aux)
+
+    def run(params, ref_params, batch):
+        return jax.lax.stop_gradient(logps_fn(params, batch, ref_params))
+
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -319,6 +373,8 @@ class GRPOTrainer:
                 score, optimizer, cfg, schedule, ref_score_fn=ref_score,
                 logps_fn=logps_fn, ref_logps_fn=ref_logps_fn,
             )
+            self.logps_eval = make_grpo_logps_eval(score, cfg,
+                                                   logps_fn=logps_fn)
         else:
             self.ref_params = ref_params
             self._lora_mode = False
@@ -340,6 +396,9 @@ class GRPOTrainer:
                 bundle_score_fn(bundle, remat=remat), optimizer, cfg,
                 schedule, logps_fn=logps_fn, ref_logps_fn=logps_fn,
             )
+            self.logps_eval = make_grpo_logps_eval(
+                bundle_score_fn(bundle, remat=remat), cfg,
+                logps_fn=logps_fn)
         self._rng = jax.random.PRNGKey(0)
         self.metrics_history: list[dict] = []
         # TR-DPO ref sync (SyncRefModelCallback._sync_target_model:
@@ -372,6 +431,20 @@ class GRPOTrainer:
             self._rng, _ = jax.random.split(self._rng)
 
     # --- prompt collation --------------------------------------------------
+
+    def _run_updates(self, update_batch):
+        """One (mu = 1, reference SC-GRPO) or mu off-policy update passes
+        against the snapshotted generation-time logps (trl num_iterations,
+        grpo_trainer.py:1182-1234 -- epsilon clipping engages only here)."""
+        mu = self.cfg.num_iterations
+        if mu > 1:
+            update_batch = dict(update_batch)
+            update_batch["old_logps"] = self.logps_eval(
+                self.state.params, self.ref_params, update_batch)
+        for _ in range(mu):
+            self.state, metrics = self.update_step(
+                self.state, self.ref_params, update_batch)
+        return self.state, metrics
 
     def compute_advantages(self, rewards: np.ndarray) -> np.ndarray:
         """Group-normalized advantages; subclass hook (train/online_rl.py
@@ -506,9 +579,7 @@ class GRPOTrainer:
                         "scatter_rows", "scatter_cols"):
                 if key in batch:
                     update_batch[key] = batch[key]
-            self.state, metrics = self.update_step(
-                self.state, self.ref_params, update_batch
-            )
+            self.state, metrics = self._run_updates(update_batch)
             out = {k: float(v) for k, v in metrics.items()}
             out["ref_synced"] = float(self.maybe_sync_ref())
             out["reward"] = float(rewards.mean())
@@ -543,9 +614,7 @@ class GRPOTrainer:
                     "scatter_rows", "scatter_cols"):
             if key in batch:
                 update_batch[key] = batch[key]
-        self.state, metrics = self.update_step(
-            self.state, self.ref_params, update_batch
-        )
+        self.state, metrics = self._run_updates(update_batch)
 
         out = {k: float(v) for k, v in metrics.items()}
         out["ref_synced"] = float(self.maybe_sync_ref())

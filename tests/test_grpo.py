@@ -288,3 +288,93 @@ def test_grpo_trainer_learns_reward():
     assert abs(metrics[0]["kl"]) < 1e-4
     # reward metric plumbed through
     assert "rewards/contains_token" in metrics[0]
+
+
+def test_grpo_loss_types_and_clipping():
+    """Upstream-trl GRPO features (grpo_trainer.py:1182-1234): loss_type
+    grpo/bnpo/dr_grpo reductions and epsilon ratio clipping with
+    old_logps."""
+    import optax
+
+    from iadr1_tpu.train.grpo import make_grpo_update_step
+    from iadr1_tpu.train.state import create_train_state
+
+    bundle = make_qwen2_bundle(TINY, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    optimizer = optax.sgd(1e-3)
+    n, G, P, N = 2, 2, 8, 4
+    rng = np.random.default_rng(0)
+    comp_mask = np.ones((n * G, N), np.int32)
+    comp_mask[0, 2:] = 0   # ragged completions exercise the reductions
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(5, 500, (n * G, P + N)),
+                                 jnp.int32),
+        "segment_ids": jnp.ones((n * G, P + N), jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(P + N), (n * G, P + N)).copy(),
+            jnp.int32),
+        "completion_ids": jnp.asarray(
+            rng.integers(5, 500, (n * G, N)), jnp.int32),
+        "completion_mask": jnp.asarray(comp_mask),
+        "advantages": jnp.asarray([1.0, -1.0, 0.5, -0.5], jnp.float32),
+        "prompt_len": P,
+    }
+    losses = {}
+    for loss_type in ("grpo", "bnpo", "dr_grpo"):
+        cfg = GRPOConfig(num_generations=G, beta=0.0, loss_type=loss_type,
+                         max_completion_length=N, logp_chunk_size=32,
+                         shared_prompt_scoring=False)
+        step = make_grpo_update_step(bundle_score_fn(bundle), optimizer, cfg)
+        state = create_train_state(jax.tree.map(jnp.copy, params), optimizer)
+        _, m = step(state, jax.tree.map(jnp.copy, params), batch)
+        losses[loss_type] = float(m["loss"])
+        # on-policy: ratio == 1 everywhere, nothing clips
+        assert float(m["clip_ratio"]) == 0.0
+        assert np.isfinite(losses[loss_type])
+    # reductions genuinely differ on ragged masks
+    assert losses["grpo"] != losses["bnpo"]
+    assert losses["bnpo"] != losses["dr_grpo"]
+    # dr_grpo divides by B*max_len >= total valid tokens
+    assert abs(losses["dr_grpo"]) <= abs(losses["bnpo"]) + 1e-9
+
+    # off-policy: old_logps far from current -> clipping engages
+    cfg = GRPOConfig(num_generations=G, beta=0.0, epsilon=0.2,
+                     max_completion_length=N, logp_chunk_size=32,
+                     shared_prompt_scoring=False)
+    step = make_grpo_update_step(bundle_score_fn(bundle), optimizer, cfg)
+    state = create_train_state(jax.tree.map(jnp.copy, params), optimizer)
+    old = jnp.full((n * G, N), -20.0, jnp.float32)  # tiny old prob -> huge ratio
+    _, m = step(state, jax.tree.map(jnp.copy, params),
+                {**batch, "old_logps": old})
+    assert float(m["clip_ratio"]) > 0.5
+
+
+def test_grpo_trainer_mu_iterations():
+    """num_iterations > 1 snapshots generation-time logps and takes mu
+    update passes per rollout (trl num_iterations)."""
+    tok = tiny_qwen_tokenizer()
+    hf_cfg = {**TINY, "vocab_size": max(tok.vocab_size, 600)}
+    bundle = make_qwen2_bundle(hf_cfg, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    optimizer, schedule = make_optimizer(
+        OptimizerConfig(learning_rate=5e-3, total_steps=30, warmup_ratio=0.0,
+                        max_grad_norm=1.0))
+    state = create_train_state(params, optimizer)
+    ref_params = jax.tree.map(jnp.copy, params)
+    cfg = GRPOConfig(num_generations=2, beta=0.02, temperature=1.0,
+                     top_k=0, top_p=1.0, max_prompt_length=8,
+                     max_completion_length=4, num_iterations=2)
+    trainer = GRPOTrainer(
+        bundle, tok, optimizer, cfg,
+        [_reward_contains_token(tok.decode([33]))], state, ref_params,
+        schedule=schedule)
+    prompt_ids = tok.encode("Are there any defects",
+                            add_special_tokens=False)[:6]
+    examples = [{"prompt_ids": prompt_ids, "solution": "x"},
+                {"prompt_ids": prompt_ids[:4], "solution": "y"}]
+    m1 = trainer.step(examples)
+    m2 = trainer.step(examples)
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+    # two updates per rollout step
+    assert int(trainer.state.step) == 4
+    assert "clip_ratio" in m1
