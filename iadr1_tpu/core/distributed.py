@@ -30,42 +30,54 @@ _ENV_NPROC = ("NUM_PROCESSES", "JAX_NUM_PROCESSES")
 _ENV_PID = ("PROCESS_ID", "JAX_PROCESS_ID")
 
 
-def _env(names: tuple[str, ...]) -> str | None:
-    for n in names:
-        if os.environ.get(n):
-            return os.environ[n]
+def detect_distributed_mode(env: "dict[str, str] | None" = None):
+    """Pure decision table for the bootstrap (testable without touching
+    the real runtime): returns ("explicit", kwargs), ("auto", {}), or
+    None for single-process.
+
+    Explicit COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID wins (manual /
+    test launches).  The TPU-pod auto path needs a marker naming MULTIPLE
+    workers: single-host runtimes (including tunneled single-chip setups)
+    also export TPU_WORKER_HOSTNAMES with one entry, and a no-arg
+    jax.distributed.initialize() would fail there.
+    """
+    env = os.environ if env is None else env
+
+    def pick(names):
+        for n in names:
+            if env.get(n):
+                return env[n]
+        return None
+
+    coord = pick(_ENV_COORD)
+    nproc = pick(_ENV_NPROC)
+    pid = pick(_ENV_PID)
+    if coord and nproc is not None and pid is not None:
+        return "explicit", dict(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len(hostnames.split(",")) > 1 or env.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        return "auto", {}
     return None
 
 
 def maybe_initialize_distributed() -> bool:
     """Call jax.distributed.initialize when launched multi-process.
 
-    Returns True when a multi-process runtime was initialized.  Env
-    conventions: explicit COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID
-    (manual launch) or the TPU-pod auto-detect path (no env needed --
-    jax.distributed.initialize() with no args on Cloud TPU VMs).
+    Returns True when a multi-process runtime was initialized; the
+    decision table lives in detect_distributed_mode (the explicit path is
+    executed for real by tests/test_multiprocess.py).
     """
-    coord = _env(_ENV_COORD)
-    nproc = _env(_ENV_NPROC)
-    pid = _env(_ENV_PID)
-    if coord and nproc is not None and pid is not None:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(nproc),
-            process_id=int(pid),
-        )
-        return True
-    # TPU pod slices auto-detect via the metadata server.  The marker must
-    # name MULTIPLE workers: single-host runtimes (including tunneled
-    # single-chip setups) also export TPU_WORKER_HOSTNAMES with one entry,
-    # and jax.distributed.initialize() would fail there.
-    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
-    if len(hostnames.split(",")) > 1 or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return True
-    return False
+    mode = detect_distributed_mode()
+    if mode is None:
+        return False
+    jax.distributed.initialize(**mode[1])
+    return True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,3 +64,33 @@ def test_make_global_batch_shards_batch_axis():
 def test_mesh_uses_device_mesh_helper():
     mesh = build_mesh(MeshConfig(dp=1, fsdp=4, tp=2))
     assert dict(mesh.shape) == {"dp": 1, "fsdp": 4, "tp": 2}
+
+
+def test_detect_distributed_mode_table():
+    """The bootstrap decision table, covered purely (round-2 weak #6: the
+    auto-detect branch previously only ran under a monkeypatched
+    initialize)."""
+    from iadr1_tpu.core.distributed import detect_distributed_mode as d
+
+    # explicit manual launch
+    assert d({"COORDINATOR_ADDRESS": "h0:1234", "NUM_PROCESSES": "2",
+              "PROCESS_ID": "1"}) == (
+        "explicit",
+        {"coordinator_address": "h0:1234", "num_processes": 2,
+         "process_id": 1},
+    )
+    # JAX_-prefixed aliases
+    assert d({"JAX_COORDINATOR_ADDRESS": "h0:1", "JAX_NUM_PROCESSES": "4",
+              "JAX_PROCESS_ID": "0"})[0] == "explicit"
+    # incomplete explicit env does NOT half-initialize
+    assert d({"COORDINATOR_ADDRESS": "h0:1234"}) is None
+    assert d({"NUM_PROCESSES": "2", "PROCESS_ID": "0"}) is None
+    # pod auto-detect needs MULTIPLE workers; a single-entry hostname list
+    # (tunneled single-chip setups) must stay single-process
+    assert d({"TPU_WORKER_HOSTNAMES": "host-a"}) is None
+    assert d({"TPU_WORKER_HOSTNAMES": "host-a,host-b"}) == ("auto", {})
+    assert d({"MEGASCALE_COORDINATOR_ADDRESS": "c:1"}) == ("auto", {})
+    # explicit beats auto when both are present
+    assert d({"TPU_WORKER_HOSTNAMES": "a,b", "COORDINATOR_ADDRESS": "h:1",
+              "NUM_PROCESSES": "2", "PROCESS_ID": "0"})[0] == "explicit"
+    assert d({}) is None
