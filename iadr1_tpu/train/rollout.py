@@ -41,6 +41,13 @@ class SamplingConfig:
     # vocab is a per-step sort on the VPU.  Off by default (exact
     # HF-parity sampling).
     approx_top_k: bool = False
+    # stop decoding once EVERY row has emitted EOS (lax.while_loop instead
+    # of a fixed-trip scan).  Output-identical to the full loop -- unfilled
+    # steps hold pad tokens either way -- but eval-style generates where
+    # answers are ~10-30 tokens against max_new=512 skip ~95% of the
+    # decode steps (the vLLM dynamic-stopping analogue,
+    # vLLM_Qwen_detect_format.py greedy answers).
+    early_stop: bool = True
 
 
 def sample_token(rng, logits, cfg: SamplingConfig):
@@ -241,11 +248,29 @@ def _generate_impl(params, batch, rng, lora=None, mixture_params=None, *,
     rngs = jax.random.split(rng, sampling.max_new_tokens)
     done0 = jnp.zeros((B,), bool)
     mix_cache0 = mix_cache if mixture_params is not None else None
-    (cache, _, _, done, _), tokens = jax.lax.scan(
-        body,
-        (cache, mix_cache0, first_token, done0, jnp.zeros((), jnp.int32)),
-        rngs,
-    )
+    carry0 = (cache, mix_cache0, first_token, done0,
+              jnp.zeros((), jnp.int32))
+    if sampling.early_stop:
+        # same per-step body, but exit as soon as every row is done; the
+        # emitted-token buffer starts at pad, matching what the fixed-trip
+        # scan writes for finished rows
+        buf0 = jnp.full((sampling.max_new_tokens, B), pad, jnp.int32)
+
+        def cond(state):
+            (_, _, _, done, t), _ = state
+            return (t < sampling.max_new_tokens) & ~jnp.all(done)
+
+        def while_body(state):
+            carry, buf = state
+            t = carry[-1]
+            new_carry, emitted = body(carry, rngs[t])
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, emitted.astype(jnp.int32), t, axis=0)
+            return new_carry, buf
+
+        (_, tokens) = jax.lax.while_loop(cond, while_body, (carry0, buf0))
+    else:
+        _, tokens = jax.lax.scan(body, carry0, rngs)
     completion_ids = tokens.T                                  # [B, max_new]
 
     # mask: tokens up to and including the first EOS

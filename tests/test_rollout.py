@@ -183,3 +183,28 @@ def test_grouped_prefix_cached_generate(setup):
         params, unique, jax.random.PRNGKey(5),
         group_size=G)["completion_ids"])
     assert (sampled[0] != sampled[1]).any() or (sampled[1] != sampled[2]).any()
+
+
+def test_early_stop_matches_full_scan(setup):
+    """lax.while_loop early exit is output-identical to the fixed-trip
+    scan (sampled path, mixed EOS timings)."""
+    _, bundle, params = setup
+    B, P, N = 3, 8, 16
+    rng = np.random.default_rng(4)
+    ids = rng.integers(2, TINY["vocab_size"], (B, P))
+    batch = {"input_ids": jnp.asarray(ids, jnp.int32),
+             "attention_mask": jnp.ones((B, P), jnp.int32)}
+    outs = {}
+    for early in (True, False):
+        engine = RolloutEngine(
+            bundle,
+            SamplingConfig(max_new_tokens=N, temperature=1.0, top_k=0,
+                           top_p=1.0, eos_token_id=7, pad_token_id=0,
+                           early_stop=early),
+            max_len=P + N, cache_dtype=jnp.float32,
+        )
+        out = engine.generate(params, batch, jax.random.PRNGKey(3))
+        outs[early] = (np.asarray(out["completion_ids"]),
+                       np.asarray(out["completion_mask"]))
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
