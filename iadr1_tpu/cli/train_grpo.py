@@ -73,6 +73,8 @@ class GRPOTuningSection:
     finetuning_type: str = "full"     # full | lora
     lora_rank: int = 8
     lora_alpha: float = 16.0
+    use_dora: bool = False            # weight-decomposed LoRA magnitudes
+    pissa_init: bool = False          # principal-SVD adapter init
 
 
 @dataclasses.dataclass
@@ -269,10 +271,16 @@ def main(argv=None):
         tuning_cfg = TuningConfig(
             finetuning_type="lora", lora_rank=cfg.finetuning.lora_rank,
             lora_alpha=cfg.finetuning.lora_alpha,
+            use_dora=cfg.finetuning.use_dora,
         )
-        lora = init_lora_params(
-            jax.random.PRNGKey(cfg.model.seed + 1), params, tuning_cfg
-        )
+        if cfg.finetuning.pissa_init:
+            from iadr1_tpu.train.adapters import pissa_init as _pissa
+
+            lora, params = _pissa(params, tuning_cfg)
+        else:
+            lora = init_lora_params(
+                jax.random.PRNGKey(cfg.model.seed + 1), params, tuning_cfg
+            )
         state = create_sharded_state(lora, optimizer)
         trainer = GRPOTrainer(
             bundle, tokenizer, optimizer, grpo_cfg,

@@ -180,11 +180,39 @@ def _lora_dense(x, kernel, bias, ab, scale):
 
     Never materializes the merged [in, out] weight -- backward cotangents
     stay activation-shaped (merging materializes weight-shaped d_merged
-    tensors, ~1 GB each at 7B MLP shapes; measured HBM OOM)."""
-    y = dense(x, kernel, bias)
+    tensors, ~1 GB each at 7B MLP shapes; measured HBM OOM).
+
+    DoRA (``ab["m"]`` present; reference adapter.py use_dora): the output
+    is rescaled column-wise by m / ||W + scale*A@B||_col.  The column
+    norms are computed FACTORED -- ||W_j||^2 + 2s*(K^T A B)_jj +
+    s^2*(B^T A^T A B)_jj via an [out, r] and an [r, r] contraction --
+    so DoRA costs O(in*out*r) extra FLOPs and never materializes the
+    merged weight either.  The norm is detached (peft's
+    weight_norm.detach()); gradients reach m and the A/B factors through
+    the numerator only.
+    """
+    y = dense(x, kernel, None)
     if ab is not None:
         xa = jnp.einsum("...i,ir->...r", x, ab["a"].astype(x.dtype))
         y = y + scale * jnp.einsum("...r,ro->...o", xa, ab["b"].astype(x.dtype))
+        if "m" in ab:
+            k32 = kernel.astype(jnp.float32)
+            a32 = ab["a"].astype(jnp.float32)
+            b32 = ab["b"].astype(jnp.float32)
+            wnorm2 = jnp.sum(k32 * k32, axis=0)                   # [out]
+            kta = jnp.einsum("io,ir->or", k32, a32)               # [out, r]
+            cross = jnp.einsum("or,ro->o", kta, b32)              # [out]
+            gram = a32.T @ a32                                    # [r, r]
+            bb = jnp.einsum("ro,rs,so->o", b32, gram, b32)        # [out]
+            norm = jnp.sqrt(
+                wnorm2 + 2.0 * scale * cross + scale * scale * bb + 1e-12
+            )
+            y = y * (
+                ab["m"].astype(jnp.float32)
+                / jax.lax.stop_gradient(norm)
+            ).astype(y.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
     return y
 
 

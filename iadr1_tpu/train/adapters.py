@@ -35,6 +35,15 @@ class TuningConfig:
     lora_rank: int = 8
     lora_alpha: float = 16.0
     lora_target: tuple = ("q", "k", "v", "o", "gate", "up", "down")
+    # DoRA (reference adapter.py use_dora): trainable per-column magnitude
+    # over the direction (W + scale*A@B)/||.||_col, norms computed factored
+    # (models/qwen2.py _lora_dense)
+    use_dora: bool = False
+    # PiSSA (reference adapter.py pissa_init): initialize A/B from the
+    # principal singular vectors of each target kernel and train against
+    # the residual base (pissa_init() below; peft init_lora_weights=
+    # "pissa_niter_K" randomized-SVD variant)
+    pissa_init: bool = False
 
 
 def _path_str(path) -> str:
@@ -117,9 +126,96 @@ def init_lora_params(key, params: Any, cfg: TuningConfig) -> Any:
             b = jnp.zeros((L, cfg.lora_rank, out_dim), leaf.dtype)
         else:
             return None
-        return {"a": a, "b": b}
+        out = {"a": a, "b": b}
+        if cfg.use_dora:
+            # magnitude initialized to the base column norms: at init the
+            # DoRA rescale is exactly 1 (B = 0 -> direction == W)
+            out["m"] = jnp.sqrt(
+                jnp.sum(leaf.astype(jnp.float32) ** 2, axis=-2) + 1e-12
+            ).astype(leaf.dtype)
+        return out
 
     return jax.tree_util.tree_map_with_path(make, params)
+
+
+def _randomized_svd(w, r: int, niter: int = 4, seed: int = 0,
+                    oversample: int = 8):
+    """Top-r SVD by randomized range finding with power iterations (the
+    peft "pissa_niter_K" fast path; full SVD of a 7B MLP kernel on one
+    CPU core is minutes per matrix)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    w = np.asarray(w, np.float64)
+    k = min(r + oversample, *w.shape)
+    y = w @ rng.standard_normal((w.shape[1], k))
+    for _ in range(niter):
+        y, _ = np.linalg.qr(y)
+        y = w @ (w.T @ y)
+    q, _ = np.linalg.qr(y)
+    u_s, s, vt = np.linalg.svd(q.T @ w, full_matrices=False)
+    u = q @ u_s
+    return u[:, :r], s[:r], vt[:r]
+
+
+def pissa_init(params: Any, cfg: TuningConfig, niter: int = 4):
+    """(lora, residual_params): principal-singular-vector initialization.
+
+    For each target kernel W: A = U_r sqrt(S_r) / sqrt(scale),
+    B = sqrt(S_r) V_r^T / sqrt(scale), and the base becomes the residual
+    W - scale*A@B, so the runtime-scaled adapter starts exactly at the
+    principal component (reference adapter.py pissa_init ->
+    peft init_lora_weights="pissa[_niter_K]").  A@B is materialized only
+    HERE, on host, once.
+    """
+    if cfg.use_dora:
+        raise ValueError("pissa_init + use_dora is unsupported (as in peft)")
+    scale = cfg.lora_alpha / cfg.lora_rank
+    lora_tree = {}
+    residual_by_path = {}
+
+    def factor(w2d, seed):
+        u, s, vt = _randomized_svd(w2d, cfg.lora_rank, niter=niter,
+                                   seed=seed)
+        root_s = np.sqrt(s / scale)
+        a = (u * root_s[None, :]).astype(np.float32)
+        b = (root_s[:, None] * vt).astype(np.float32)
+        res = np.asarray(w2d, np.float32) - scale * (a @ b)
+        return a, b, res
+
+    import numpy as np
+
+    def make(path, leaf):
+        p = _path_str(path)
+        parts = p.split("/")
+        name = parts[-2] if len(parts) >= 2 else ""
+        if not p.endswith("kernel") or name not in cfg.lora_target:
+            return None
+        if leaf.ndim == 2:
+            a, b, res = factor(np.asarray(leaf, np.float32),
+                               seed=abs(hash(p)) % (2**31))
+            residual_by_path[p] = jnp.asarray(res, leaf.dtype)
+            return {"a": jnp.asarray(a, leaf.dtype),
+                    "b": jnp.asarray(b, leaf.dtype)}
+        if leaf.ndim == 3:
+            outs = [factor(np.asarray(leaf[i], np.float32),
+                           seed=(abs(hash(p)) + i) % (2**31))
+                    for i in range(leaf.shape[0])]
+            residual_by_path[p] = jnp.asarray(
+                np.stack([o[2] for o in outs]), leaf.dtype)
+            return {"a": jnp.asarray(np.stack([o[0] for o in outs]),
+                                     leaf.dtype),
+                    "b": jnp.asarray(np.stack([o[1] for o in outs]),
+                                     leaf.dtype)}
+        return None
+
+    lora_tree = jax.tree_util.tree_map_with_path(make, params)
+
+    def swap(path, leaf):
+        return residual_by_path.get(_path_str(path), leaf)
+
+    residual_params = jax.tree_util.tree_map_with_path(swap, params)
+    return lora_tree, residual_params
 
 
 def merge_lora(params: Any, lora: Any, cfg: TuningConfig) -> Any:
@@ -141,7 +237,18 @@ def merge_lora(params: Any, lora: Any, cfg: TuningConfig) -> Any:
         if ab is None:
             return w
         delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"])
-        return w + (scale * delta).astype(w.dtype)
+        merged = w + (scale * delta).astype(w.dtype)
+        if isinstance(ab, dict) and "m" in ab:
+            # DoRA export: m * direction (peft dora merge)
+            norm = jnp.sqrt(
+                jnp.sum(merged.astype(jnp.float32) ** 2, axis=-2,
+                        keepdims=True) + 1e-12
+            )
+            merged = (
+                merged.astype(jnp.float32) / norm
+                * ab["m"].astype(jnp.float32)[..., None, :]
+            ).astype(w.dtype)
+        return merged
 
     return jax.tree_util.tree_map_with_path(combine, params)
 

@@ -175,3 +175,113 @@ def test_factored_lora_matches_merged_forward():
     # deltas are real: differs from the base-only forward
     h_base = jax.jit(lambda p, b: bundle.hidden_fn(p, b, remat=False))(base, batch)
     assert not np.allclose(np.asarray(h_factored), np.asarray(h_base))
+
+
+def test_dora_factored_norms_match_merged_oracle():
+    """DoRA forward (factored column norms, models/qwen2.py _lora_dense)
+    equals the explicit merged computation m * x@(W+sAB)/||W+sAB||_col."""
+    import jax
+    import jax.numpy as jnp
+
+    from iadr1_tpu.models.qwen2 import _lora_dense
+
+    rng = np.random.default_rng(0)
+    IN, OUT, R, B = 16, 12, 4, 5
+    x = jnp.asarray(rng.standard_normal((B, IN)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((IN, OUT)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(OUT), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((IN, R)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((R, OUT)) * 0.1, jnp.float32)
+    m = jnp.asarray(rng.random(OUT) + 0.5, jnp.float32)
+    scale = 2.0
+
+    got = _lora_dense(x, w, bias, {"a": a, "b": b, "m": m}, scale)
+
+    merged = w + scale * (a @ b)
+    norm = jnp.sqrt(jnp.sum(merged**2, axis=0))
+    want = (x @ merged) * (m / norm)[None, :] + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dora_init_identity_and_trains():
+    """At init (B=0, m=||W||) DoRA output equals plain dense; magnitudes
+    are part of the adapter pytree and move under training."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from iadr1_tpu.models.registry import make_qwen2_bundle
+
+    hf = dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=2, rope_theta=1e4,
+              tie_word_embeddings=True,
+              architectures=["Qwen2ForCausalLM"])
+    bundle = make_qwen2_bundle(hf, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    cfg = TuningConfig(finetuning_type="lora", lora_rank=4, use_dora=True)
+    lora = init_lora_params(jax.random.PRNGKey(1), params, cfg)
+    is_ab = lambda x: isinstance(x, dict) and "a" in x
+    ab_leaves = [l for l in jax.tree.leaves(lora, is_leaf=is_ab) if is_ab(l)]
+    assert ab_leaves and all("m" in l for l in ab_leaves)
+
+    rng = np.random.default_rng(2)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 128, (2, 16)), jnp.int32),
+        "segment_ids": jnp.ones((2, 16), jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(16), (2, 16)).copy(), jnp.int32),
+    }
+    scale = cfg.lora_alpha / cfg.lora_rank
+    plain = bundle.hidden_fn(params, batch, remat=False)
+    dora0 = bundle.hidden_fn(params, batch, remat=False, lora=lora,
+                             lora_scale=scale)
+    np.testing.assert_allclose(np.asarray(dora0), np.asarray(plain),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss_fn(lo):
+        h = bundle.hidden_fn(params, batch, remat=False, lora=lo,
+                             lora_scale=scale)
+        return jnp.sum(h * h)
+
+    g = jax.grad(loss_fn)(lora)
+    g_leaves = [l for l in jax.tree.leaves(g, is_leaf=is_ab) if is_ab(l)]
+    m_grads = [l["m"] for l in g_leaves]
+    assert m_grads and any(float(np.abs(x).max()) > 0 for x in m_grads)
+
+
+def test_pissa_init_principal_components():
+    """PiSSA: residual + scale*A@B reconstructs W exactly, and the adapter
+    captures the principal singular directions (residual energy ==
+    tail-singular-value energy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iadr1_tpu.train.adapters import pissa_init
+
+    rng = np.random.default_rng(0)
+    # synthetic low-rank-dominated kernel
+    u = rng.standard_normal((32, 6))
+    v = rng.standard_normal((6, 24))
+    w = (u * [50, 20, 10, 1, 0.5, 0.1]) @ v
+    params = {"layers": {"attn": {"q": {"kernel": jnp.asarray(w, jnp.float32)}}}}
+    cfg = TuningConfig(finetuning_type="lora", lora_rank=3, lora_alpha=6.0)
+    lora, residual = pissa_init(params, cfg, niter=8)
+
+    ab = lora["layers"]["attn"]["q"]["kernel"]
+    res = np.asarray(residual["layers"]["attn"]["q"]["kernel"])
+    scale = cfg.lora_alpha / cfg.lora_rank
+    recon = res + scale * np.asarray(ab["a"]) @ np.asarray(ab["b"])
+    np.testing.assert_allclose(recon, w, rtol=1e-4, atol=1e-4)
+
+    s = np.linalg.svd(w, compute_uv=False)
+    tail = np.sqrt((s[3:] ** 2).sum())
+    assert np.linalg.norm(res) <= tail * 1.05
+
+    # dora+pissa rejected like peft
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pissa_init(params, TuningConfig(finetuning_type="lora",
+                                        use_dora=True, pissa_init=True))
