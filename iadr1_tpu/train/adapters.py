@@ -35,10 +35,20 @@ class TuningConfig:
     lora_rank: int = 8
     lora_alpha: float = 16.0
     lora_target: tuple = ("q", "k", "v", "o", "gate", "up", "down")
+
+    @property
+    def lora_scale(self) -> float:
+        import math
+
+        return (self.lora_alpha / math.sqrt(self.lora_rank)
+                if self.use_rslora else self.lora_alpha / self.lora_rank)
     # DoRA (reference adapter.py use_dora): trainable per-column magnitude
     # over the direction (W + scale*A@B)/||.||_col, norms computed factored
     # (models/qwen2.py _lora_dense)
     use_dora: bool = False
+    # rsLoRA (reference adapter.py use_rslora -> peft): scale by
+    # alpha/sqrt(r) instead of alpha/r (rank-stabilized)
+    use_rslora: bool = False
     # PiSSA (reference adapter.py pissa_init): initialize A/B from the
     # principal singular vectors of each target kernel and train against
     # the residual base (pissa_init() below; peft init_lora_weights=
@@ -170,7 +180,7 @@ def pissa_init(params: Any, cfg: TuningConfig, niter: int = 4):
     """
     if cfg.use_dora:
         raise ValueError("pissa_init + use_dora is unsupported (as in peft)")
-    scale = cfg.lora_alpha / cfg.lora_rank
+    scale = cfg.lora_scale
     lora_tree = {}
     residual_by_path = {}
 
@@ -220,7 +230,7 @@ def pissa_init(params: Any, cfg: TuningConfig, niter: int = 4):
 
 def merge_lora(params: Any, lora: Any, cfg: TuningConfig) -> Any:
     """Effective params: W + (alpha/r) * A @ B, leaf-wise (path-matched)."""
-    scale = cfg.lora_alpha / cfg.lora_rank
+    scale = cfg.lora_scale
     lora_by_path = {}
 
     def collect(path, node):
@@ -302,3 +312,53 @@ def make_lora_forward(forward_fn, base_params, cfg: TuningConfig):
         return forward_fn(merged, batch, **kw)
 
     return forward
+
+
+# ---------------------------------------------------------------------------
+# embedding resize
+# ---------------------------------------------------------------------------
+
+
+def resize_embeddings(params: Any, new_vocab: int, key,
+                      pad_to_multiple_of: int = 64) -> "tuple[Any, int]":
+    """Grow the vocab rows of embed (and an untied lm_head) to
+    ``new_vocab`` with noisy-mean initialization; returns (params,
+    padded_vocab).
+
+    Counterpart of the reference's resize_embedding_layer
+    (model_utils/embedding.py:38-70: resize_token_embeddings with
+    pad_to_multiple_of=64 + _noisy_mean_initialization -- new rows =
+    mean(old rows) + N(0, 1/sqrt(dim))).  The caller rebuilds the bundle
+    with the returned vocab size.
+    """
+    text = params.get("text", params)
+    old_vocab, dim = text["embed"]["weight"].shape
+    if new_vocab <= old_vocab:
+        return params, old_vocab
+    padded = -(-new_vocab // pad_to_multiple_of) * pad_to_multiple_of
+    n_new = padded - old_vocab
+    k_embed, k_head = jax.random.split(key)
+
+    def grow(weight, k, row_axis_first: bool):
+        w32 = weight.astype(jnp.float32)
+        if not row_axis_first:       # lm_head kernel is [dim, vocab]
+            w32 = w32.T
+        mean = w32.mean(axis=0, keepdims=True)
+        noise = jax.random.normal(k, (n_new, w32.shape[1]),
+                                  jnp.float32) / jnp.sqrt(float(dim))
+        grown = jnp.concatenate([w32, mean + noise], axis=0)
+        if not row_axis_first:
+            grown = grown.T
+        return grown.astype(weight.dtype)
+
+    text = dict(text)
+    text["embed"] = {"weight": grow(text["embed"]["weight"], k_embed, True)}
+    if "lm_head" in text:
+        text["lm_head"] = {
+            "kernel": grow(text["lm_head"]["kernel"], k_head, False)
+        }
+    if "text" in params:
+        out = dict(params)
+        out["text"] = text
+        return out, padded
+    return text, padded

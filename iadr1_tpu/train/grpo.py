@@ -330,7 +330,7 @@ class GRPOTrainer:
             # materialize weight-shaped cotangents in backward (~1 GB per
             # MLP kernel stack at 7B; measured HBM OOM).
             self.ref_params = base_params
-            scale = tuning_cfg.lora_alpha / tuning_cfg.lora_rank
+            scale = tuning_cfg.lora_scale
             self._lora_mode = True
             self.engine = RolloutEngine(
                 bundle, sampling,

@@ -285,3 +285,37 @@ def test_pissa_init_principal_components():
     with _pytest.raises(ValueError):
         pissa_init(params, TuningConfig(finetuning_type="lora",
                                         use_dora=True, pissa_init=True))
+
+
+def test_resize_embeddings():
+    """Noisy-mean vocab growth with pad-to-64 (reference
+    model_utils/embedding.py:38-70), tied and untied heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from iadr1_tpu.train.adapters import resize_embeddings
+
+    rng = np.random.default_rng(0)
+    old_v, dim = 100, 16
+    embed = jnp.asarray(rng.standard_normal((old_v, dim)), jnp.float32)
+    head = jnp.asarray(rng.standard_normal((dim, old_v)), jnp.float32)
+    params = {"embed": {"weight": embed}, "lm_head": {"kernel": head}}
+    out, padded = resize_embeddings(params, 130, jax.random.PRNGKey(0))
+    assert padded == 192  # 130 padded to the next multiple of 64
+    assert out["embed"]["weight"].shape == (192, dim)
+    assert out["lm_head"]["kernel"].shape == (dim, 192)
+    # old rows untouched; new rows centered on the old mean
+    np.testing.assert_array_equal(np.asarray(out["embed"]["weight"][:old_v]),
+                                  np.asarray(embed))
+    new_rows = np.asarray(out["embed"]["weight"][old_v:])
+    np.testing.assert_allclose(new_rows.mean(axis=0),
+                               np.asarray(embed).mean(axis=0), atol=0.3)
+    # no-op when the vocab already fits
+    same, v = resize_embeddings(params, 80, jax.random.PRNGKey(0))
+    assert v == old_v and same is params
+
+    # nested {"text": ...} VLM layout
+    nested = {"text": params, "vision": {"x": jnp.zeros(3)}}
+    out2, _ = resize_embeddings(nested, 130, jax.random.PRNGKey(1))
+    assert out2["text"]["embed"]["weight"].shape == (192, dim)
+    assert out2["vision"]["x"].shape == (3,)
