@@ -31,6 +31,9 @@ class LoopConfig:
     # train/sft/workflow.py:101)
     plot_loss: bool = False           # render training_loss.png at the end
     report_to: list = dataclasses.field(default_factory=list)  # e.g. ["wandb"]
+    # background host-collation prefetch depth (0 = synchronous); the
+    # torch-DataLoader-workers analogue (prefetch_iterator below)
+    prefetch: int = 2
 
 
 class JsonlLogger:
@@ -90,6 +93,43 @@ def batch_iterator(rows: Sequence[dict], batch_size: int, seed: int,
             yield collate([rows[j] for j in order[i : i + batch_size]])
 
 
+def prefetch_iterator(batches: Iterable[dict], depth: int = 2):
+    """Background-thread prefetch over a batch iterable.
+
+    The torch-DataLoader-workers analogue (the reference's preprocessing
+    parallelism, hparams preprocessing_num_workers): host-side collation
+    (tokenize/pack/image index plans) overlaps the device step instead of
+    serializing with it -- on this machine's single CPU core the host work
+    otherwise adds directly to step time.  Order-preserving; exceptions
+    (incl. StopIteration) propagate to the consumer; the thread is a
+    daemon so abandoned iterators cannot hang interpreter exit.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    _END = object()
+
+    def worker():
+        try:
+            for item in batches:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 -- re-raised by consumer
+            q.put((_END, e))
+            return
+        q.put((_END, None))
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item
+
+
 def run_sft_loop(
     state,
     step_fn,
@@ -110,6 +150,8 @@ def run_sft_loop(
 
     reporter = make_reporters(cfg.report_to)
     history = []
+    if cfg.prefetch:
+        batches = prefetch_iterator(batches, cfg.prefetch)
     it = iter(batches)
     t_last = time.perf_counter()
     for step in range(start_step + 1, cfg.max_steps + 1):

@@ -85,3 +85,41 @@ def test_overrides(tmp_path):
     assert cfg.name == "over"
     assert cfg.inner.steps == 42
     assert cfg.inner.lr == pytest.approx(0.1)
+
+
+def test_prefetch_iterator():
+    """Order-preserving background prefetch; exceptions propagate; finite
+    streams terminate (train/loop.py prefetch_iterator)."""
+    import time as _time
+
+    from iadr1_tpu.train.loop import prefetch_iterator
+
+    assert list(prefetch_iterator(iter(range(10)), depth=3)) == list(range(10))
+    assert list(prefetch_iterator(iter([]), depth=2)) == []
+
+    def boom():
+        yield 1
+        raise RuntimeError("collate failed")
+
+    it = prefetch_iterator(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="collate failed"):
+        next(it)
+
+    # the producer genuinely runs ahead of the consumer
+    times = []
+
+    def slow_producer():
+        for i in range(4):
+            times.append(("produced", i, _time.perf_counter()))
+            yield i
+
+    out = []
+    for x in prefetch_iterator(slow_producer(), depth=4):
+        _time.sleep(0.05)   # slow consumer
+        out.append((x, _time.perf_counter()))
+    assert [x for x, _ in out] == [0, 1, 2, 3]
+    # everything was produced before the consumer finished item 1
+    assert times[-1][2] < out[1][1]
