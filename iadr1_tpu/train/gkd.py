@@ -15,7 +15,7 @@ memory is two [chunk, V] blocks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence
+from typing import Sequence
 
 import numpy as np
 

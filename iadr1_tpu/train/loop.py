@@ -13,7 +13,6 @@ import os
 import time
 from typing import Callable, Iterable, Sequence
 
-import jax
 import numpy as np
 
 
