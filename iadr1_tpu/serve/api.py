@@ -61,11 +61,16 @@ class ChatServer:
 
     def __init__(self, generator, model_name: str = "iadr1-tpu",
                  host: str = "127.0.0.1", port: int = 8000,
-                 score_fn=None):
+                 score_fn=None, max_batch: int = 4,
+                 batch_wait_ms: float = 10.0):
         """``score_fn(texts, max_length) -> list[float]``: reward-model
         scoring backing /v1/score/evaluation (reference api/app.py:113-123;
         the endpoint 405s when only a generative model is loaded, matching
-        the reference's can_generate guard)."""
+        the reference's can_generate guard).
+
+        ``max_batch`` > 1 coalesces concurrent chat requests into one
+        compiled generate (serve/batcher.py; the reference serializes
+        behind a semaphore instead, chat/hf_engine.py)."""
         self.generator = generator
         self.model_name = model_name
         self.host = host
@@ -73,6 +78,18 @@ class ChatServer:
         self.score_fn = score_fn
         self._lock = threading.Lock()  # generator is single-program
         self._httpd: ThreadingHTTPServer | None = None
+        self._batcher = None
+        if max_batch > 1:
+            from iadr1_tpu.serve.batcher import RequestBatcher
+
+            def _generate_locked(requests):
+                with self._lock:
+                    return self.generator.generate(requests)
+
+            self._batcher = RequestBatcher(
+                _generate_locked, max_batch=max_batch,
+                max_wait_ms=batch_wait_ms,
+            )
 
     # --- request handling ---------------------------------------------------
 
@@ -80,11 +97,12 @@ class ChatServer:
         messages, images, system = parse_openai_messages(body["messages"])
         if system is not None:
             messages = [{"role": "system", "content": system}] + messages
-        with self._lock:
-            texts = self.generator.generate(
-                [{"messages": messages, "images": images}]
-            )
-        text = texts[0]
+        request = {"messages": messages, "images": images}
+        if self._batcher is not None:
+            text = self._batcher.submit(request)
+        else:
+            with self._lock:
+                text = self.generator.generate([request])[0]
         return {
             "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
             "object": "chat.completion",

@@ -163,3 +163,60 @@ def test_score_evaluation_endpoint():
         assert scored["args"] == (["ab", "cdef"], 32)
     finally:
         srv.shutdown()
+
+
+def test_request_batcher_coalesces_and_orders():
+    """Concurrent submits coalesce into one generate call; results map to
+    their requests in order; failures deliver per-request."""
+    import threading
+    import time
+
+    from iadr1_tpu.serve.batcher import RequestBatcher
+
+    calls = []
+
+    def generate(requests):
+        calls.append(len(requests))
+        time.sleep(0.02)
+        return [f"re:{r}" for r in requests]
+
+    b = RequestBatcher(generate, max_batch=4, max_wait_ms=50)
+    results = {}
+
+    def worker(i):
+        results[i] = b.submit(f"q{i}")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {i: f"re:q{i}" for i in range(6)}
+    # 6 requests over max_batch=4 -> at most 3 generate calls, at least
+    # one of them genuinely batched
+    assert len(calls) <= 3 and max(calls) >= 2, calls
+
+    # failure propagates to every member of the failed batch
+    def boom(requests):
+        raise RuntimeError("backend down")
+
+    b2 = RequestBatcher(boom, max_batch=2, max_wait_ms=5)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="backend down"):
+        b2.submit("x")
+    b.close()
+    b2.close()
+
+
+def test_chat_server_batched_path():
+    """ChatServer with max_batch>1 answers through the batcher."""
+    from iadr1_tpu.serve.api import ChatServer
+
+    class FakeGen:
+        def generate(self, requests):
+            return ["ok:" + r["messages"][-1]["content"] for r in requests]
+
+    srv = ChatServer(FakeGen(), max_batch=4, batch_wait_ms=5)
+    out = srv.handle_chat({"messages": [{"role": "user", "content": "hi"}]})
+    assert out["choices"][0]["message"]["content"] == "ok:hi"
