@@ -362,3 +362,28 @@ def resize_embeddings(params: Any, new_vocab: int, key,
         out["text"] = text
         return out, padded
     return text, padded
+
+
+def pissa_convert(lora_trained: Any, lora_init: Any) -> Any:
+    """Re-express a PiSSA-trained adapter against the ORIGINAL base.
+
+    PiSSA trains (A', B') on the residual base W - s*A0@B0; serving stacks
+    expect adapters over the original W.  Exactly:
+    W_res + s*A'B' = W + s*([A', A0] @ [B'; -B0]), so the converted
+    adapter is the rank-2r concatenation (reference
+    train/callbacks.py PissaConvertCallback -> peft
+    save_pretrained(path_initial_model_for_weight_conversion=...)).
+    """
+
+    def is_ab(x):
+        return isinstance(x, dict) and "a" in x
+
+    def convert(trained, init):
+        if trained is None:
+            return None
+        return {
+            "a": jnp.concatenate([trained["a"], init["a"]], axis=-1),
+            "b": jnp.concatenate([trained["b"], -init["b"]], axis=-2),
+        }
+
+    return jax.tree.map(convert, lora_trained, lora_init, is_leaf=is_ab)

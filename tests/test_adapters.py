@@ -319,3 +319,44 @@ def test_resize_embeddings():
     out2, _ = resize_embeddings(nested, 130, jax.random.PRNGKey(1))
     assert out2["text"]["embed"]["weight"].shape == (192, dim)
     assert out2["vision"]["x"].shape == (3,)
+
+
+def test_pissa_convert_roundtrip():
+    """residual + s*A'B' == original + s*convert(A',B') exactly (rank-2r
+    concatenation; reference PissaConvertCallback semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iadr1_tpu.train.adapters import merge_lora, pissa_convert, pissa_init
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((20, 14)).astype(np.float32)
+    params = {"attn": {"q": {"kernel": jnp.asarray(w)}}}
+    cfg = TuningConfig(finetuning_type="lora", lora_rank=3, lora_alpha=6.0)
+    lora0, residual = pissa_init(params, cfg, niter=6)
+
+    # simulate training: perturb the adapter
+    trained = jax.tree.map(
+        lambda x: x + 0.1 * jnp.asarray(
+            np.random.default_rng(2).standard_normal(x.shape), x.dtype),
+        lora0,
+        is_leaf=lambda x: x is None,
+    )
+    converted = pissa_convert(trained, lora0)
+    ab = converted["attn"]["q"]["kernel"]
+    assert ab["a"].shape == (20, 6) and ab["b"].shape == (6, 14)
+
+    scale = cfg.lora_scale
+    eff_trained = (np.asarray(residual["attn"]["q"]["kernel"])
+                   + scale * np.asarray(trained["attn"]["q"]["kernel"]["a"])
+                   @ np.asarray(trained["attn"]["q"]["kernel"]["b"]))
+    eff_converted = w + scale * np.asarray(ab["a"]) @ np.asarray(ab["b"])
+    np.testing.assert_allclose(eff_converted, eff_trained, rtol=1e-5,
+                               atol=1e-5)
+
+    # merge_lora over the ORIGINAL base with a rank-2r config agrees too
+    cfg2r = TuningConfig(finetuning_type="lora", lora_rank=6,
+                         lora_alpha=12.0)
+    merged = merge_lora(params, converted, cfg2r)
+    np.testing.assert_allclose(np.asarray(merged["attn"]["q"]["kernel"]),
+                               eff_trained, rtol=1e-5, atol=1e-5)
