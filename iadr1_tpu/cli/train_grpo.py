@@ -74,6 +74,7 @@ class GRPOTuningSection:
     lora_rank: int = 8
     lora_alpha: float = 16.0
     use_dora: bool = False            # weight-decomposed LoRA magnitudes
+    use_rslora: bool = False          # alpha/sqrt(r) scaling
     pissa_init: bool = False          # principal-SVD adapter init
 
 
@@ -272,6 +273,7 @@ def main(argv=None):
             finetuning_type="lora", lora_rank=cfg.finetuning.lora_rank,
             lora_alpha=cfg.finetuning.lora_alpha,
             use_dora=cfg.finetuning.use_dora,
+            use_rslora=cfg.finetuning.use_rslora,
         )
         if cfg.finetuning.pissa_init:
             from iadr1_tpu.train.adapters import pissa_init as _pissa
