@@ -24,6 +24,15 @@ FLASH_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
     "flash_out", "flash_lse"
 )
 
+# additionally saves the flat q/k/v projections (named "act_qkv" in the
+# decoder blocks): the rematerialized backward then DCE's the three QKV
+# matmuls and rebuilds the roped heads with elementwise work only.
+# Costs (H+2*Hkv)*D bf16 per token per layer of extra residual HBM
+# (0.5B leg: ~75 MB/layer); saves ~7% of layer-matmul recompute FLOPs.
+FLASH_QKV_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "flash_out", "flash_lse", "act_qkv"
+)
+
 
 def xla_attn(q, k, v, *, mask=None, q_segments=None, kv_segments=None, causal=True):
     return xla_attention(q, k, v, mask)

@@ -245,12 +245,18 @@ def _attn_block(
         return node
 
     x = rms_norm(h, layer_params["input_norm"], cfg.rms_norm_eps)
-    q = _lora_dense(x, attn_p["q"]["kernel"], attn_p["q"].get("bias"),
-                    la("attn", "q", "kernel"), lora_scale)
-    k = _lora_dense(x, attn_p["k"]["kernel"], attn_p["k"].get("bias"),
-                    la("attn", "k", "kernel"), lora_scale)
-    v = _lora_dense(x, attn_p["v"]["kernel"], attn_p["v"].get("bias"),
-                    la("attn", "v", "kernel"), lora_scale)
+    # Named for the remat policies (models/attention.py remat_policy):
+    # saving the flat projections (last dim H*D / Hkv*D, lane-exact --
+    # the post-rope [B,T,H,64] layout would pad 64->128 lanes in HBM)
+    # lets the rematerialized backward DCE the q/k/v matmuls and rebuild
+    # the roped heads with elementwise work only.
+    name = jax.ad_checkpoint.checkpoint_name
+    q = name(_lora_dense(x, attn_p["q"]["kernel"], attn_p["q"].get("bias"),
+                         la("attn", "q", "kernel"), lora_scale), "act_qkv")
+    k = name(_lora_dense(x, attn_p["k"]["kernel"], attn_p["k"].get("bias"),
+                         la("attn", "k", "kernel"), lora_scale), "act_qkv")
+    v = name(_lora_dense(x, attn_p["v"]["kernel"], attn_p["v"].get("bias"),
+                         la("attn", "v", "kernel"), lora_scale), "act_qkv")
     q = q.reshape(B, T, H, D)
     k = k.reshape(B, T, Hkv, D)
     v = v.reshape(B, T, Hkv, D)
@@ -453,6 +459,9 @@ def apply(
     #   *outside* the custom_vjp cannot do this -- the fwd rule re-runs to
     #   rebuild the pre-name residuals, measured in round 1 as a no-op).
     #   Under the XLA attention path nothing is named -> plain remat.
+    # * "save_qkv": flash residuals + the named flat q/k/v projections --
+    #   the backward also skips the three QKV matmul recomputes (the
+    #   speed mode when the extra (H+2Hkv)*D/token/layer residual fits).
     # * "full": plain remat, recompute the flash forward too -- the
     #   memory-tight mode (the saved out residual is [L,B,H,T,D] bf16,
     #   5.9 GB at 2B/B=16/T=4608: bigger than the base weights).
@@ -460,6 +469,10 @@ def apply(
     if remat:
         if remat == "full":
             body = jax.checkpoint(scan_body)
+        elif remat == "save_qkv":
+            from iadr1_tpu.models.attention import FLASH_QKV_REMAT_POLICY
+
+            body = jax.checkpoint(scan_body, policy=FLASH_QKV_REMAT_POLICY)
         else:
             from iadr1_tpu.models.attention import FLASH_REMAT_POLICY
 
