@@ -59,9 +59,11 @@ def bench_sft_text(on_tpu: bool) -> dict:
         B, T, steps, warmup = 2, 256, 3, 1
 
     bundle = make_qwen2_bundle(hf, attention="flash" if on_tpu else "xla")
-    # bf16 weights + bf16 Adam first moment + 4096-token CE chunks: the
-    # measured-best v5e recipe (matches the reference's --bf16 envelope);
-    # each worth ~+0.5-1.1pt MFU over f32 params / 1024 chunks
+    # bf16 weights + bf16 Adam first moment + 4096-token CE chunks with
+    # bf16-stored logits blocks + save_qkv remat: the measured-best v5e
+    # recipe (matches the reference's --bf16 envelope); bf16 CE blocks
+    # +1.2pt, save_qkv +0.2pt, the rest +0.5-1.1pt each (tools/
+    # probe_sft_perf.py sweep, loss identical to 4 decimals)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = bundle.init_params(jax.random.PRNGKey(0), dtype=dtype)
     optimizer, schedule = make_optimizer(
@@ -70,8 +72,11 @@ def bench_sft_text(on_tpu: bool) -> dict:
     )
     state = create_sharded_state(params, optimizer)
     step = make_chunked_sft_step(
-        bundle.hidden_fn, bundle.head_kernel_fn, optimizer, schedule,
+        (lambda p, b: bundle.hidden_fn(p, b, remat="save_qkv"))
+        if on_tpu else bundle.hidden_fn,
+        bundle.head_kernel_fn, optimizer, schedule,
         chunk_size=4096 if on_tpu else 1024,
+        logits_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     rng = np.random.default_rng(0)
     ids = rng.integers(1, hf["vocab_size"], (B, T))
@@ -164,8 +169,11 @@ def bench_sft_vlm(on_tpu: bool) -> dict:
                         mu_dtype="bfloat16" if on_tpu else None))
     state = create_sharded_state(params, optimizer)
     step = make_chunked_sft_step(
-        bundle.hidden_fn, bundle.head_kernel_fn, optimizer, schedule,
+        (lambda p, b: bundle.hidden_fn(p, b, remat="save_qkv"))
+        if on_tpu else bundle.hidden_fn,
+        bundle.head_kernel_fn, optimizer, schedule,
         chunk_size=4096 if on_tpu else 1024,
+        logits_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
 
     rng = np.random.default_rng(0)
@@ -481,8 +489,11 @@ def bench_sft_7b_shape(on_tpu: bool) -> dict:
     )
     state = create_sharded_state(params, optimizer)
     step = make_chunked_sft_step(
-        bundle.hidden_fn, bundle.head_kernel_fn, optimizer, schedule,
+        (lambda p, b: bundle.hidden_fn(p, b, remat="save_qkv"))
+        if on_tpu else bundle.hidden_fn,
+        bundle.head_kernel_fn, optimizer, schedule,
         chunk_size=4096 if on_tpu else 1024,
+        logits_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     rng = np.random.default_rng(0)
     ids = rng.integers(1, hf["vocab_size"], (B, T))

@@ -241,6 +241,24 @@ def _register(template: ChatTemplate) -> None:
     TEMPLATES[template.name] = template
 
 
+def register_template(template: ChatTemplate) -> None:
+    """Public user-registration hook (reference ``_register_template``,
+    template.py:216-266 -- its docstring demonstrates registering a
+    ``custom`` template; that example ships below)."""
+    _register(template)
+
+
+# "custom" is NOT among the reference's 78 registered names -- it is the
+# register_template docstring example (template.py:236-243).  Registered
+# here verbatim (literal <s>/</s> strings, as in the example) so the
+# documented user contract works out of the box.
+_register(ChatTemplate(
+    name="custom",
+    user=("<user>{content}\n<model>",),
+    assistant=("{content}</s>\n",),
+    prefix=("<s>",),
+))
+
 _register(ChatTemplate(name="qwen2_vl", image_token="<|image_pad|>",
                        mm_style="qwen2_vl", **_CHATML_KW))
 _register(ChatTemplate(name="qwen2_5_vl", image_token="<|image_pad|>",

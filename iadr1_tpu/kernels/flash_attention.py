@@ -79,6 +79,52 @@ def default_blocks() -> BlockSizes:
     return BlockSizes()
 
 
+def _use_stacked(group: int, d: int) -> bool:
+    """Whether to stack the GQA query group on the matmul M axis.
+
+    At D=64 the QK/PV contractions can use at most half the MXU depth and
+    the per-head loop serializes ``group`` small matmul+softmax rounds per
+    cell; stacking the group into one [group*bq, ...] pass amortizes the
+    pipeline and (in dkv) turns the group accumulation into a full-depth
+    contraction.  At D=128 the looped path already measures 57% MFU, so it
+    stays the default there.  Override: IADR1_FLASH_STACKED=0/1."""
+    env = os.environ.get("IADR1_FLASH_STACKED", "auto")
+    if env == "auto":
+        return group > 1 and d <= 64
+    return env not in ("0", "false")
+
+
+# stacked [group*bq, bk] f32 intermediates live in VMEM; cap the stacked
+# row count so s/p/ds/dp blocks stay within budget
+_STACKED_ROW_CAP = 2048
+
+
+def _stacked_bq(bq: int, group: int) -> int:
+    cap = max(128, _STACKED_ROW_CAP // group)
+    cap = (cap // 128) * 128
+    return min(bq, cap)
+
+
+def _stack_mask(mask, group: int):
+    """Tile a [bq, bk] tile mask across the stacked group rows."""
+    if mask is None:
+        return None
+    return jnp.broadcast_to(
+        mask[None], (group,) + mask.shape
+    ).reshape(group * mask.shape[0], mask.shape[1])
+
+
+def _zero_oob_rows_grouped(x, tile_idx, block: int, length: int, group: int):
+    """_zero_oob_rows for a group-stacked [group*block, d] tile: row
+    r maps to sequence position tile_idx*block + (r % block)."""
+    if length % block == 0:
+        return x
+    pos = tile_idx * block + jax.lax.broadcasted_iota(
+        jnp.int32, (group, block, x.shape[-1]), 1
+    ).reshape(x.shape)
+    return jnp.where(pos < length, x, 0)
+
+
 def _tile_mask(
     q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal: bool,
     q_len: int | None = None, kv_len: int | None = None,
@@ -142,13 +188,17 @@ def _fwd_kernel(
     o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, scale: float, causal: bool, num_kv_blocks: int, group: int,
-    q_len: int, kv_len: int,
+    q_len: int, kv_len: int, stacked: bool,
 ):
     # grid: (batch, KV head, q_block, kv_block); the GQA query group is
-    # looped statically inside so each K/V tile is loaded once per group.
+    # either looped statically inside (K/V tiles load once per group) or,
+    # when ``stacked``, folded onto the matmul M axis: one
+    # [group*block_q, d] x [d, block_k] pass per cell instead of ``group``
+    # small matmul+softmax rounds (see _use_stacked).
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
     block_q = q_ref.shape[2]
     block_k = k_ref.shape[2]
+    D = q_ref.shape[3]
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -170,8 +220,7 @@ def _fwd_kernel(
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg,
                           causal, q_len=q_len, kv_len=kv_len)
 
-        for g in range(group):
-            q = q_ref[0, g]  # [block_q, d]
+        def online_update(q, m_prev, l_prev, acc_prev, mask):
             # base-2 logits: scale * log2(e) folded into one multiply
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -181,22 +230,38 @@ def _fwd_kernel(
                 # select, never add: partial-tile padding is undefined
                 # memory and can be NaN -- NaN + mask_value stays NaN
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-            m_prev = m_scratch[g]            # [block_q, RES_LANES], base 2
-            l_prev = l_scratch[g]
             m_curr = jnp.max(s, axis=1)[:, None]
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(s - m_next[:, :1])
             l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-
-            m_scratch[g] = m_next
-            l_scratch[g] = l_next
-
             o_curr = jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
-            acc_scratch[g] = acc_scratch[g] * alpha[:, :1] + o_curr
+            return m_next, l_next, acc_prev * alpha[:, :1] + o_curr
+
+        if stacked:
+            G, R = group, m_scratch.shape[-1]
+            q = q_ref[0].reshape(G * block_q, D)
+            m_next, l_next, acc = online_update(
+                q,
+                m_scratch[...].reshape(G * block_q, R),
+                l_scratch[...].reshape(G * block_q, R),
+                acc_scratch[...].reshape(G * block_q, D),
+                _stack_mask(mask, G),
+            )
+            m_scratch[...] = m_next.reshape(G, block_q, R)
+            l_scratch[...] = l_next.reshape(G, block_q, R)
+            acc_scratch[...] = acc.reshape(G, block_q, D)
+        else:
+            for g in range(group):
+                m_next, l_next, acc = online_update(
+                    q_ref[0, g], m_scratch[g], l_scratch[g],
+                    acc_scratch[g], mask,
+                )
+                m_scratch[g] = m_next
+                l_scratch[g] = l_next
+                acc_scratch[g] = acc
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
@@ -217,7 +282,10 @@ def _fwd(
     B, H, T, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
     group = H // Hkv
+    stacked = _use_stacked(group, D)
     bq, bk = min(blocks.block_q, T), min(blocks.block_k, S)
+    if stacked:
+        bq = min(bq, _stacked_bq(blocks.block_q, group))
     nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
 
     in_specs = [
@@ -232,7 +300,7 @@ def _fwd(
     out, lse = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, causal=causal, num_kv_blocks=nkv,
-            group=group, q_len=T, kv_len=S,
+            group=group, q_len=T, kv_len=S, stacked=stacked,
         ),
         grid=(B, Hkv, nq, nkv),
         in_specs=in_specs,
@@ -268,12 +336,14 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_scratch,
     *, scale: float, causal: bool, num_kv_blocks: int, group: int,
-    q_len: int, kv_len: int,
+    q_len: int, kv_len: int, stacked: bool,
 ):
-    # grid: (batch, KV head, q_block, kv_block); GQA group looped inside.
+    # grid: (batch, KV head, q_block, kv_block); GQA group looped inside
+    # or stacked on the matmul M axis (see _use_stacked).
     q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
     block_q = q_ref.shape[2]
     block_k = k_ref.shape[2]
+    D = q_ref.shape[3]
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -292,12 +362,7 @@ def _bwd_dq_kernel(
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg,
                           causal, q_len=q_len, kv_len=kv_len)
 
-        for g in range(group):
-            q = q_ref[0, g]
-            do = do_ref[0, g]
-            lse2 = lse_ref[0, g][:, :1]  # [block_q, 1], base-2 units
-            di = di_ref[0, g][:, :1]
-
+        def dq_update(q, do, lse2, di, mask):
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -305,7 +370,7 @@ def _bwd_dq_kernel(
             if mask is not None:
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-            p = jnp.exp2(s - lse2)                             # [bq, bk]
+            p = jnp.exp2(s - lse2)                             # [rows, bk]
             # MXU matmuls take the native (bf16) inputs with f32
             # accumulation -- f32-input matmuls run at a fraction of peak
             dp = jax.lax.dot_general(
@@ -313,9 +378,28 @@ def _bwd_dq_kernel(
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - di) * scale
-            dq_scratch[g] += jax.lax.dot(
+            return jax.lax.dot(
                 ds.astype(k.dtype), k, preferred_element_type=jnp.float32
             )
+
+        if stacked:
+            G, R = group, lse_ref.shape[-1]
+            dq_scratch[...] = (
+                dq_scratch[...].reshape(G * block_q, D)
+                + dq_update(
+                    q_ref[0].reshape(G * block_q, D),
+                    do_ref[0].reshape(G * block_q, D),
+                    lse_ref[0].reshape(G * block_q, R)[:, :1],
+                    di_ref[0].reshape(G * block_q, R)[:, :1],
+                    _stack_mask(mask, G),
+                )
+            ).reshape(G, block_q, D)
+        else:
+            for g in range(group):
+                dq_scratch[g] += dq_update(
+                    q_ref[0, g], do_ref[0, g],
+                    lse_ref[0, g][:, :1], di_ref[0, g][:, :1], mask,
+                )
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
@@ -328,15 +412,18 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, scale: float, causal: bool, num_q_blocks: int, group: int,
-    q_len: int, kv_len: int,
+    q_len: int, kv_len: int, stacked: bool,
 ):
     # grid: (batch, KV head, kv_block, q_block) -- q innermost; the GQA
-    # group of query heads sharing this kv head is looped statically inside,
-    # so dk/dv accumulate across the group with no redundant recompute or
-    # post-hoc reduction.
+    # group of query heads sharing this kv head is looped statically inside
+    # (dk/dv accumulate across the group with no redundant recompute) or,
+    # when ``stacked``, folded onto the matmul M axis -- the dk/dv
+    # contractions then sum over group*block_q rows in ONE full-depth
+    # matmul each, which is exactly the group accumulation.
     kv_idx, q_idx = pl.program_id(2), pl.program_id(3)
     block_q = q_ref.shape[2]
     block_k = k_ref.shape[2]
+    D = q_ref.shape[3]
 
     @pl.when(q_idx == 0)
     def _init():
@@ -356,14 +443,7 @@ def _bwd_dkv_kernel(
         mask = _tile_mask(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg,
                           causal, q_len=q_len, kv_len=kv_len)
 
-        for g in range(group):
-            # q/do rows beyond q_len are undefined padding: zero them so
-            # they cannot leak NaNs into the dk/dv accumulations
-            q = _zero_oob_rows(q_ref[0, g], q_idx, block_q, q_len)
-            do = _zero_oob_rows(do_ref[0, g], q_idx, block_q, q_len)
-            lse2 = lse_ref[0, g][:, :1]  # base-2 units
-            di = di_ref[0, g][:, :1]
-
+        def dkv_update(q, do, lse2, di, mask):
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -371,13 +451,13 @@ def _bwd_dkv_kernel(
             if mask is not None:
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-            p = jnp.exp2(s - lse2)                               # [bq, bk]
+            p = jnp.exp2(s - lse2)                             # [rows, bk]
             if mask is not None:
                 # lse/di of padded q rows are garbage: select, don't trust
                 # exp2 underflow alone
                 p = jnp.where(mask, p, 0.0)
             # bf16 MXU inputs, f32 accumulation (see dq kernel note)
-            dv_scratch[...] += jax.lax.dot_general(
+            dv = jax.lax.dot_general(
                 p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -385,13 +465,41 @@ def _bwd_dkv_kernel(
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - di) * scale                           # [bq, bk]
+            ds = p * (dp - di) * scale                         # [rows, bk]
             if mask is not None:
                 ds = jnp.where(mask, ds, 0.0)
-            dk_scratch[...] += jax.lax.dot_general(
+            dk = jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            return dk, dv
+
+        if stacked:
+            G, R = group, lse_ref.shape[-1]
+            # q/do rows beyond q_len are undefined padding: zero them so
+            # they cannot leak NaNs into the dk/dv accumulations
+            dk, dv = dkv_update(
+                _zero_oob_rows_grouped(
+                    q_ref[0].reshape(G * block_q, D), q_idx, block_q,
+                    q_len, G),
+                _zero_oob_rows_grouped(
+                    do_ref[0].reshape(G * block_q, D), q_idx, block_q,
+                    q_len, G),
+                lse_ref[0].reshape(G * block_q, R)[:, :1],
+                di_ref[0].reshape(G * block_q, R)[:, :1],
+                _stack_mask(mask, G),
+            )
+            dk_scratch[...] += dk
+            dv_scratch[...] += dv
+        else:
+            for g in range(group):
+                dk, dv = dkv_update(
+                    _zero_oob_rows(q_ref[0, g], q_idx, block_q, q_len),
+                    _zero_oob_rows(do_ref[0, g], q_idx, block_q, q_len),
+                    lse_ref[0, g][:, :1], di_ref[0, g][:, :1], mask,
+                )
+                dk_scratch[...] += dk
+                dv_scratch[...] += dv
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _store():
@@ -419,16 +527,21 @@ def _bwd(
     # per group).  dq_per_qhead: grid over q heads with group=1 per cell --
     # K/V re-fetched per q head, but the per-cell VMEM footprint shrinks by
     # the group factor so larger q blocks fit.
+    stacked = _use_stacked(group, D)
     bq, bk = min(blocks.block_q_dq, T), min(blocks.block_k_dq, S)
-    nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
     if blocks.dq_per_qhead:
-        grid = (B, H, nq, nkv)
+        grid_heads = H
         group_dq = 1
         kv_map = lambda b, h, q_, kv: (b, h // group, kv, 0)
     else:
-        grid = (B, Hkv, nq, nkv)
+        grid_heads = Hkv
         group_dq = group
         kv_map = lambda b, h, q_, kv: (b, h, kv, 0)
+    stacked_dq = stacked and group_dq > 1
+    if stacked_dq:
+        bq = min(bq, _stacked_bq(blocks.block_q_dq, group_dq))
+    nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
+    grid = (B, grid_heads, nq, nkv)
     in_specs = [
         pl.BlockSpec((1, group_dq, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bk, D), kv_map),
@@ -447,7 +560,7 @@ def _bwd(
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal, num_kv_blocks=nkv,
-            group=group_dq, q_len=T, kv_len=S,
+            group=group_dq, q_len=T, kv_len=S, stacked=stacked_dq,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -461,8 +574,10 @@ def _bwd(
         interpret=interpret,
     )(*args)
 
-    # --- dk/dv: grid over KV heads, GQA group looped inside ----------------
+    # --- dk/dv: grid over KV heads, GQA group looped/stacked inside --------
     bq, bk = min(blocks.block_q_dkv, T), min(blocks.block_k_dkv, S)
+    if stacked:
+        bq = min(bq, _stacked_bq(blocks.block_q_dkv, group))
     nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
     in_specs = [
         pl.BlockSpec((1, group, bq, D), lambda b, h, kv, q_: (b, h, q_, 0)),
@@ -480,7 +595,7 @@ def _bwd(
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal, num_q_blocks=nq,
-            group=group, q_len=T, kv_len=S,
+            group=group, q_len=T, kv_len=S, stacked=stacked,
         ),
         grid=(B, Hkv, nkv, nq),
         in_specs=in_specs,

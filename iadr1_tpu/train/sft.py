@@ -124,9 +124,12 @@ def make_fused_chunked_ce(chunk_size: int, logits_dtype=jnp.float32):
         d_hidden += dlogits @ W^T        d_W += h^T @ dlogits
 
     and the backward rule only scales by the incoming cotangent.  Executed
-    head FLOPs drop from 4x to the ideal 3x of ``2*tokens*H*V`` (measured
-    ~+1.5pt MFU on the 0.5B v5e leg) with no extra residual memory beyond
-    d_W ([H, V] f32) and d_hidden ([B, T, H]).
+    head FLOPs drop from 4x to the ideal 3x of ``2*tokens*H*V``, at the
+    cost of carrying d_W ([H, V] f32) through the scan and materializing
+    the dlogits blocks in the forward.  Measured on the v5e 0.5B leg this
+    trades ~1.9pt MFU AGAINST the checkpointed-recompute loss (the scan
+    carry serializes what XLA otherwise pipelines), so it is an option,
+    not the default.
 
     Returns ``fused(hidden, head_kernel, labels) -> (loss, metrics)`` with
     the same semantics as ``chunked_sft_loss``.

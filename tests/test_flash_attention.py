@@ -159,3 +159,42 @@ def test_partial_tiles_forward_and_backward(T):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
             err_msg=f"partial-tile grad mismatch for d{name}")
+
+
+@pytest.mark.parametrize("T", [256, 352])
+def test_stacked_group_matches_looped(T, monkeypatch):
+    """The stacked-group path (GQA query group folded onto the matmul M
+    axis, _use_stacked) must match the per-head loop exactly -- fwd, dq,
+    dk, dv -- including segments, partial tiles and a 7-wide group (the
+    0.5B recipe's 14q/2kv shape)."""
+    B, H, Hkv, D = 2, 14, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(11), B, H, Hkv, T, D)
+    segs = jnp.asarray(
+        np.concatenate([
+            np.ones((B, T // 2), np.int32),
+            np.full((B, T - T // 2 - 16), 2, np.int32),
+            np.zeros((B, 16), np.int32),
+        ], axis=1))
+    blocks = BlockSizes(128, 128, 128, 128, 128, 128)
+
+    def run():
+        def loss(q, k, v):
+            o = flash_attention(q, k, v, segment_ids=segs, causal=True,
+                                blocks=blocks, interpret=True)
+            return jnp.sum(o.astype(jnp.float32) ** 2), o
+
+        (l, o), grads = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                           has_aux=True)(q, k, v)
+        return o, grads
+
+    monkeypatch.setenv("IADR1_FLASH_STACKED", "0")
+    o_loop, g_loop = run()
+    monkeypatch.setenv("IADR1_FLASH_STACKED", "1")
+    o_stack, g_stack = run()
+
+    np.testing.assert_allclose(np.asarray(o_loop), np.asarray(o_stack),
+                               rtol=1e-6, atol=1e-6)
+    for name, a, b in zip("qkv", g_loop, g_stack):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+            err_msg=f"stacked/looped grad mismatch for d{name}")

@@ -108,3 +108,31 @@ def test_all_templates_match_executed_reference(ref_templates, tok, system):
 def test_registry_names_match_reference(ref_templates):
     missing = sorted(set(ref_templates) - set(OUR_TEMPLATES))
     assert not missing, missing
+
+
+def test_custom_template_matches_executed_docstring_example(
+    ref_templates, tok
+):
+    """The reference never registers "custom" -- it is the
+    _register_template docstring example (template.py:236-243).  EXECUTE
+    that example against the reference engine and byte-compare with our
+    shipped "custom" template."""
+    from llamafactory.data.formatter import EmptyFormatter, StringFormatter
+    from llamafactory.data.template import TEMPLATES as REF, _register_template
+
+    assert "custom" not in ref_templates
+    try:
+        _register_template(
+            name="custom",
+            format_user=StringFormatter(slots=["<user>{{content}}\n<model>"]),
+            format_assistant=StringFormatter(slots=["{{content}}</s>\n"]),
+            format_prefix=EmptyFormatter(slots=["<s>"]),
+        )
+        ref_tpl = REF["custom"]
+        ours = get_template("custom")
+        ref_text = _decode_pairs(
+            tok, ref_tpl.encode_multiturn(tok, MSGS, system="", tools=""))
+        our_text = _decode_pairs(tok, ours.encode_multiturn(tok, MSGS))
+        assert ref_text == our_text
+    finally:
+        REF.pop("custom", None)

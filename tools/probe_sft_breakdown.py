@@ -68,14 +68,15 @@ def build(hf):
 
 
 def time_chained(fn, state, batch, steps=20, warmup=3, stateful=True):
-    out = None
+    """Returns (sec_per_step, final_state) -- the step donates its input
+    state, so the caller must keep using the returned one."""
     for _ in range(warmup):
         out = fn(state, batch)
         if stateful:
             state, metrics = out
         else:
             metrics = out
-    _sync(metrics["loss"] if isinstance(metrics, dict) else metrics)
+    _sync(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn(state, batch)
@@ -83,8 +84,8 @@ def time_chained(fn, state, batch, steps=20, warmup=3, stateful=True):
             state, metrics = out
         else:
             metrics = out
-    _sync(metrics["loss"] if isinstance(metrics, dict) else metrics)
-    return (time.perf_counter() - t0) / steps
+    _sync(metrics["loss"])
+    return (time.perf_counter() - t0) / steps, state
 
 
 def main():
@@ -102,16 +103,15 @@ def main():
     # --- full step + per-dispatch overhead
     bundle, state, step, optimizer = build(HF)
     batch = make_batch(HF["vocab_size"])
-    res["full_step_sec"] = time_chained(step, state, batch)
+    res["full_step_sec"], state = time_chained(step, state, batch)
     # single-step timing: sync after every call -> includes one full
     # dispatch round-trip per step
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        state2, metrics = step(state, batch)
+        state, metrics = step(state, batch)
         _sync(metrics["loss"])
         times.append(time.perf_counter() - t0)
-        del state2
     res["single_step_sec"] = float(np.median(times))
     res["dispatch_overhead_sec"] = res["single_step_sec"] - res["full_step_sec"]
 
@@ -124,7 +124,8 @@ def main():
         return m
 
     fwd_jit = jax.jit(fwd_only)
-    res["fwd_only_sec"] = time_chained(fwd_jit, state, batch, stateful=False)
+    res["fwd_only_sec"], _ = time_chained(fwd_jit, state, batch,
+                                          stateful=False)
 
     # --- optimizer + step plumbing only (fixed grads)
     grads = jax.tree.map(jnp.zeros_like, state.params)
@@ -134,7 +135,7 @@ def main():
         return new_state, {"loss": new_state.step.astype(jnp.float32)}
 
     opt_jit = jax.jit(opt_only)
-    res["opt_only_sec"] = time_chained(opt_jit, state, batch)
+    res["opt_only_sec"], state = time_chained(opt_jit, state, batch)
     del state, batch, step, fwd_jit, opt_jit, grads
     _release_device_memory()
 
@@ -142,7 +143,7 @@ def main():
     hf_small = dict(HF, vocab_size=1024)
     bundle, state, step, _ = build(hf_small)
     batch = make_batch(1024)
-    res["step_vocab1k_sec"] = time_chained(step, state, batch)
+    res["step_vocab1k_sec"], state = time_chained(step, state, batch)
     res["head_embed_cost_sec"] = res["full_step_sec"] - res["step_vocab1k_sec"]
     del bundle, state, step, batch
     _release_device_memory()
