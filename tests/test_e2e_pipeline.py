@@ -1,0 +1,181 @@
+"""The full recipe chained in ONE command (cli/pipeline.py): tiny PA-SFT ->
+HF export -> SC-GRPO warm-start -> eval harness driven over the REAL
+reference benchmark JSONs -> combined summary CSV.
+
+This covers the integration seams the per-stage e2e tests cannot: the
+checkpoint/tokenizer handoff between stages (orbax -> safetensors ->
+convert_hf), template consistency across train and eval, and the
+supplementary_results CSV layout (reference chain: train/stage_sft/train.py
+-> train/stage_rl/grpo_ad.py:67-207 ->
+scripts/Inference/IAD-R1-Inference/vLLM_Qwen_detect_format.py:253-381 ->
+helper/summary.py).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from helpers import (
+    build_iad_rl_dataset,
+    build_iad_sft_dataset,
+    build_tiny_vlm_checkpoint,
+)
+
+REF_TEST_DIR = "/root/reference/data/Test"
+
+
+@pytest.fixture(scope="module")
+def checkpoint_dir(tmp_path_factory):
+    pytest.importorskip("torch")
+    return build_tiny_vlm_checkpoint(str(tmp_path_factory.mktemp("ckpt")))
+
+
+def _materialize_bench_images(test_data: str, image_root: str, n: int) -> int:
+    """Write tiny random images at the first-n image paths of a REAL
+    benchmark JSON (the JSONs ship with the reference; the image archives
+    do not -- zero egress)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    with open(test_data) as f:
+        keys = list(json.load(f))[:n]
+    for rel in keys:
+        full = os.path.join(image_root, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        Image.fromarray(
+            rng.integers(0, 255, (56, 56, 3), np.uint8)).save(full)
+    return len(keys)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TEST_DIR),
+                    reason="reference benchmark data not mounted")
+def test_pipeline_end_to_end(checkpoint_dir, tmp_path):
+    from iadr1_tpu.cli.pipeline import main
+
+    sft_json, sft_imgs = build_iad_sft_dataset(tmp_path / "sft_data")
+    rl_json, rl_imgs = build_iad_rl_dataset(tmp_path / "rl_data")
+    img_root = str(tmp_path / "bench_images")
+    n_eval = 4
+    benches = []
+    for ds in ("DAGM", "SDD"):
+        test_data = os.path.join(REF_TEST_DIR, f"test_{ds}_format.json")
+        _materialize_bench_images(test_data, img_root, n_eval)
+        benches.append({"test_data": test_data, "image_dir": img_root,
+                        "max_samples": n_eval})
+
+    out = str(tmp_path / "run")
+    cfg = {
+        "model_name_or_path": checkpoint_dir,
+        "output_dir": out,
+        "sft": {
+            "model": {"attention": "xla"},
+            "data": {"dataset": sft_json, "image_dir": sft_imgs,
+                     "template": "qwen2_vl", "cutoff_len": 128,
+                     "patch_budget": 64, "min_pixels": 56 * 56,
+                     "max_pixels": 56 * 56 * 4, "ce_chunk": 64},
+            "mesh": {"dp": 1, "fsdp": 4, "tp": 2},
+            "optim": {"learning_rate": 2e-3, "warmup_ratio": 0.0},
+            "train": {"max_steps": 120, "batch_size": 4,
+                      "logging_steps": 1, "save_steps": 0},
+        },
+        "grpo": {
+            "model": {"attention": "xla", "ref_dtype": "float32"},
+            "data": {"dataset_name": rl_json, "image_path": rl_imgs,
+                     "template": "qwen2_vl", "patch_budget": 128,
+                     "min_pixels": 56 * 56, "max_pixels": 56 * 56 * 4},
+            "grpo": {"num_generations": 4, "max_prompt_length": 128,
+                     "max_completion_length": 48, "beta": 0.02,
+                     "temperature": 1.0},
+            "mesh": {"dp": 1, "fsdp": 4, "tp": 2},
+            "optim": {"learning_rate": 2e-3, "warmup_ratio": 0.0,
+                      "max_grad_norm": 1.0},
+            "train": {"max_steps": 8, "batch_size": 2,
+                      "logging_steps": 1, "save_steps": 0},
+        },
+        "eval": {"benchmarks": benches, "num_shot": 0, "batch_size": 2,
+                 "max_prompt_length": 128, "max_new_tokens": 48,
+                 "patch_budget": 64, "max_pixels": 56 * 56 * 4,
+                 "attention": "xla"},
+    }
+    cfg_path = tmp_path / "pipeline.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["--config", str(cfg_path)]) == 0
+
+    # --- stage 1: SFT ran, learned, exported -----------------------------
+    sft_log = [json.loads(l) for l in
+               open(os.path.join(out, "sft", "trainer_log.jsonl"))]
+    assert len(sft_log) == 120
+    first = np.mean([r["loss"] for r in sft_log[:5]])
+    last = np.mean([r["loss"] for r in sft_log[-5:]])
+    assert last < first, f"SFT did not learn: {first:.3f} -> {last:.3f}"
+    assert os.path.exists(
+        os.path.join(out, "sft_export", "model.safetensors"))
+    assert os.path.exists(
+        os.path.join(out, "sft_export", "tokenizer_config.json"))
+
+    # --- stage 2: GRPO warm-started from the SFT export ------------------
+    grpo_cfg = json.load(open(os.path.join(out, "grpo_config.json")))
+    assert grpo_cfg["model"]["model_name_or_path"] == os.path.join(
+        out, "sft_export")
+    grpo_log = [json.loads(l) for l in
+                open(os.path.join(out, "grpo", "trainer_log.jsonl"))]
+    assert len(grpo_log) == 8
+    rewards = [r["reward"] for r in grpo_log]
+    assert np.isfinite([r["loss"] for r in grpo_log]).all()
+    assert np.isfinite(rewards).all()
+    # SFT priming is the point of the two-stage recipe: the warm-started
+    # policy must already emit scoreable format (nonzero reward from the
+    # start) -- a cold random policy scores 0.0 on every rollout.  (A
+    # monotone reward-improvement assertion is NOT statistically sound at
+    # 8 rollouts/step on a 64-hidden model -- the dense-reward improvement
+    # property is pinned by tests/test_grpo.py::test_grpo_trainer_learns_
+    # reward instead.)
+    assert np.mean(rewards) > 0.0, f"warm-start produced no reward: {rewards}"
+    # the structured rewards produced within-group variance (nonzero
+    # advantages -> real policy gradients flowed)
+    assert max(r["reward_std"] for r in grpo_log) > 0.0
+    assert max(r["grad_norm"] for r in grpo_log) > 0.0
+    assert os.path.exists(
+        os.path.join(out, "grpo_export", "model.safetensors"))
+
+    # --- stage 3: eval over the REAL benchmark JSONs ----------------------
+    for ds in ("DAGM", "SDD"):
+        answers_path = os.path.join(out, "results", ds,
+                                    "answers_0_shot.json")
+        answers = json.load(open(answers_path))
+        assert len(answers) == n_eval
+        for a in answers:
+            assert a["image"].startswith(ds + "/")
+            assert a["gpt_answer"] in "ABE"
+            assert a["correct_answer"] in "AB"
+        assert os.path.exists(
+            answers_path.replace(".json", "_accuracy.csv"))
+
+    # --- combined summary CSV: the supplementary_results layout ----------
+    import pandas as pd
+
+    summary_csv = os.path.join(out, "results", "summary_0_shot.csv")
+    ours = pd.read_csv(summary_csv, index_col=0)
+    assert list(ours.index) == ["DAGM", "SDD", "Average"]
+    assert ours.columns[-1] == "Average"
+    assert "Anomaly Detection" in ours.columns
+    # row-for-row layout parity with a reference-shipped accuracy CSV:
+    # same column schema, same Average-row/Average-column contract
+    ref_csv = ("/root/reference/supplementary_results/IAD-R1-UPDATE_Results/"
+               "LLaVA_1_5_7B/test_MPDD/answers_0_shot_vllm_accuracy.csv")
+    if os.path.exists(ref_csv):
+        ref = pd.read_csv(ref_csv, index_col=0)
+        assert list(ref.columns) == ["Anomaly Detection", "Average"]
+        assert list(ours.columns) == list(ref.columns)
+        assert ref.index[-1] == ours.index[-1] == "Average"
+        # the Average column is the row-mean in both
+        for df in (ours, ref):
+            np.testing.assert_allclose(
+                df["Average"].to_numpy(),
+                df.drop(columns=["Average"]).mean(axis=1).to_numpy(),
+                rtol=1e-9)
+
+    manifest = json.load(open(os.path.join(out, "pipeline_manifest.json")))
+    assert set(manifest["results"]) == {"DAGM", "SDD"}

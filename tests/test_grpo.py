@@ -290,6 +290,54 @@ def test_grpo_trainer_learns_reward():
     assert "rewards/contains_token" in metrics[0]
 
 
+def test_grpo_reward_improves():
+    """The mean reward RISES over GRPO steps on a dense reward (decoded
+    character length: every completion scores differently, so every group
+    has nonzero advantages and the policy gradient always has signal --
+    unlike a sparse contains-token reward, which a random tiny policy hits
+    with p ~ 1/vocab and therefore cannot be asserted on)."""
+    tok = tiny_qwen_tokenizer()
+    hf_cfg = {**TINY, "vocab_size": max(tok.vocab_size, 600)}
+    bundle = make_qwen2_bundle(hf_cfg, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(3))
+    optimizer, schedule = make_optimizer(
+        OptimizerConfig(learning_rate=2e-2, total_steps=100,
+                        warmup_ratio=0.0, schedule="constant",
+                        max_grad_norm=1.0))
+    state = create_train_state(params, optimizer)
+    ref_params = jax.tree.map(jnp.copy, params)
+
+    cfg = GRPOConfig(
+        num_generations=4, beta=0.0, temperature=1.0, top_k=0, top_p=1.0,
+        max_prompt_length=8, max_completion_length=4,
+    )
+
+    def length_reward(completions, **kwargs):
+        return [len(c[0]["content"]) / 10.0 for c in completions]
+    length_reward.__name__ = "length"
+
+    trainer = GRPOTrainer(
+        bundle, tok, optimizer, cfg, [length_reward], state, ref_params,
+        schedule=schedule,
+    )
+    prompt_ids = tok.encode("Are there any defects",
+                            add_special_tokens=False)[:6]
+    examples = [
+        {"prompt_ids": prompt_ids, "solution": ""},
+        {"prompt_ids": prompt_ids[:4], "solution": ""},
+        {"prompt_ids": prompt_ids[:5], "solution": ""},
+        {"prompt_ids": prompt_ids[1:], "solution": ""},
+    ]
+    metrics = [trainer.step(examples) for _ in range(24)]
+    rewards = [m["reward"] for m in metrics]
+    assert np.isfinite(rewards).all()
+    first = float(np.mean(rewards[:6]))
+    last = float(np.mean(rewards[-6:]))
+    assert last > first, (
+        f"GRPO did not improve the dense reward: {first:.3f} -> {last:.3f} "
+        f"({rewards})")
+
+
 def test_grpo_loss_types_and_clipping():
     """Upstream-trl GRPO features (grpo_trainer.py:1182-1234): loss_type
     grpo/bnpo/dr_grpo reductions and epsilon ratio clipping with
