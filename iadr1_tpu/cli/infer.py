@@ -43,8 +43,11 @@ def main(argv=None):
     parser.add_argument("--attention", default="auto")
     parser.add_argument("--normal-flag", default="good")
     parser.add_argument("--max-samples", type=int, default=None)
-    parser.add_argument("--quant", choices=["none", "int8"], default="none",
-                        help="int8 weight-only quantization (models/quant.py)")
+    parser.add_argument("--quant",
+                        choices=["none", "int8", "int4", "nf4"],
+                        default="none",
+                        help="weight-only quantization (models/quant.py): "
+                        "int8 per-channel, int4/nf4 packed blockwise")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -67,10 +70,10 @@ def main(argv=None):
     params = bundle.convert_hf(
         load_safetensors_path(args.model_path), dtype=jnp.bfloat16
     )
-    if args.quant == "int8":
+    if args.quant != "none":
         from iadr1_tpu.models.quant import quantize_tree
 
-        params = quantize_tree(params)
+        params = quantize_tree(params, fmt=args.quant)
     tokenizer = AutoTokenizer.from_pretrained(args.model_path)
     template = get_template(args.template or bundle.template)
 

@@ -29,6 +29,13 @@ class GRPOModelSection:
     dtype: str = "float32"
     ref_dtype: str = "bfloat16"       # frozen reference copy precision
     seed: int = 0
+    # QLoRA-class quantized base (reference model_utils/quantization.py +
+    # adapter.py: bnb 4-bit base + LoRA).  Requires finetuning_type=lora;
+    # the quantized base is replicated over the mesh (int4 makes the
+    # replica affordable -- 7B base = ~3.6 GB/chip) and the KL reference
+    # is the same quantized base (ref elision), so one weight copy total.
+    quant: str = "none"               # none | int8 | int4 | nf4
+    quant_block: int = 64             # blockwise scale granularity (int4/nf4)
 
 
 @dataclasses.dataclass
@@ -253,8 +260,24 @@ def main(argv=None):
     print(f"prepared {len(examples)} RL prompts")
 
     mesh = build_mesh(dataclass_from_dict(MeshConfig, cfg.mesh))
-    shardings = pytree_shardings(bundle.logical_axes(), mesh)
-    params = jax.device_put(params, shardings)
+    if cfg.model.quant != "none":
+        if cfg.finetuning.finetuning_type != "lora":
+            raise ValueError(
+                "model.quant requires finetuning.finetuning_type=lora "
+                "(integer base weights cannot take optimizer updates)")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from iadr1_tpu.models.quant import quantize_tree
+
+        params = quantize_tree(params, fmt=cfg.model.quant,
+                               block_size=cfg.model.quant_block)
+        # the quantized base replicates (its whole point is that the
+        # replica is small); adapters/optimizer still shard below
+        rep = NamedSharding(mesh, PartitionSpec())
+        params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+    else:
+        shardings = pytree_shardings(bundle.logical_axes(), mesh)
+        params = jax.device_put(params, shardings)
 
     if not opt_cfg.total_steps:
         opt_cfg = dataclasses.replace(opt_cfg, total_steps=loop_cfg.max_steps)

@@ -17,6 +17,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from iadr1_tpu.core.precision import Precision, DEFAULT_PRECISION
 from iadr1_tpu.models import common
@@ -196,6 +197,10 @@ def _lora_dense(x, kernel, bias, ab, scale):
         xa = jnp.einsum("...i,ir->...r", x, ab["a"].astype(x.dtype))
         y = y + scale * jnp.einsum("...r,ro->...o", xa, ab["b"].astype(x.dtype))
         if "m" in ab:
+            if isinstance(kernel, dict):  # DoRA over a quantized base
+                from iadr1_tpu.models.quant import dequantize_kernel
+
+                kernel = dequantize_kernel(kernel)
             k32 = kernel.astype(jnp.float32)
             a32 = ab["a"].astype(jnp.float32)
             b32 = ab["b"].astype(jnp.float32)
@@ -250,7 +255,7 @@ def _attn_block(
     # the post-rope [B,T,H,64] layout would pad 64->128 lanes in HBM)
     # lets the rematerialized backward DCE the q/k/v matmuls and rebuild
     # the roped heads with elementwise work only.
-    name = jax.ad_checkpoint.checkpoint_name
+    name = checkpoint_name
     q = name(_lora_dense(x, attn_p["q"]["kernel"], attn_p["q"].get("bias"),
                          la("attn", "q", "kernel"), lora_scale), "act_qkv")
     k = name(_lora_dense(x, attn_p["k"]["kernel"], attn_p["k"].get("bias"),

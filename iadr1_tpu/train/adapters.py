@@ -113,7 +113,15 @@ def init_lora_params(key, params: Any, cfg: TuningConfig) -> Any:
     Returns a pytree with the same structure as ``params`` where targeted
     kernels map to {"a": [..., in, r], "b": [..., r, out]} and everything
     else maps to None.  Stacked layer kernels get stacked factors.
+
+    Quantized base kernels (models/quant.py dicts) get adapters too --
+    the QLoRA composition (reference adapter.py: bnb 4-bit base + LoRA):
+    shapes come from the quant metadata, factor dtype from the scales.
     """
+    from iadr1_tpu.models.quant import (
+        dequantize_kernel, is_quantized, quantized_shape,
+    )
+
     keys = iter(jax.random.split(key, 4096))
 
     def make(path, leaf):
@@ -124,28 +132,34 @@ def init_lora_params(key, params: Any, cfg: TuningConfig) -> Any:
         name = parts[-2] if len(parts) >= 2 else ""
         if name not in cfg.lora_target:
             return None
-        if leaf.ndim == 2:
-            in_dim, out_dim = leaf.shape
+        if is_quantized(leaf):
+            shape, dtype = quantized_shape(leaf), leaf["scales"].dtype
+        else:
+            shape, dtype = leaf.shape, leaf.dtype
+        if len(shape) == 2:
+            in_dim, out_dim = shape
             a = jax.random.normal(next(keys), (in_dim, cfg.lora_rank),
-                                  leaf.dtype) * 0.01
-            b = jnp.zeros((cfg.lora_rank, out_dim), leaf.dtype)
-        elif leaf.ndim == 3:  # stacked layers [L, in, out]
-            L, in_dim, out_dim = leaf.shape
+                                  dtype) * 0.01
+            b = jnp.zeros((cfg.lora_rank, out_dim), dtype)
+        elif len(shape) == 3:  # stacked layers [L, in, out]
+            L, in_dim, out_dim = shape
             a = jax.random.normal(next(keys), (L, in_dim, cfg.lora_rank),
-                                  leaf.dtype) * 0.01
-            b = jnp.zeros((L, cfg.lora_rank, out_dim), leaf.dtype)
+                                  dtype) * 0.01
+            b = jnp.zeros((L, cfg.lora_rank, out_dim), dtype)
         else:
             return None
         out = {"a": a, "b": b}
         if cfg.use_dora:
             # magnitude initialized to the base column norms: at init the
             # DoRA rescale is exactly 1 (B = 0 -> direction == W)
+            w = dequantize_kernel(leaf) if is_quantized(leaf) else leaf
             out["m"] = jnp.sqrt(
-                jnp.sum(leaf.astype(jnp.float32) ** 2, axis=-2) + 1e-12
-            ).astype(leaf.dtype)
+                jnp.sum(w.astype(jnp.float32) ** 2, axis=-2) + 1e-12
+            ).astype(dtype)
         return out
 
-    return jax.tree_util.tree_map_with_path(make, params)
+    return jax.tree_util.tree_map_with_path(
+        make, params, is_leaf=lambda x: is_quantized(x))
 
 
 def _randomized_svd(w, r: int, niter: int = 4, seed: int = 0,
@@ -246,6 +260,12 @@ def merge_lora(params: Any, lora: Any, cfg: TuningConfig) -> Any:
         ab = lora_by_path.get(_path_str(path))
         if ab is None:
             return w
+        from iadr1_tpu.models.quant import dequantize_kernel, is_quantized
+
+        if is_quantized(w):
+            # QLoRA export semantics (peft merge_and_unload on a bnb
+            # base): dequantize, then fold the adapter in full precision
+            w = dequantize_kernel(w, ab["a"].dtype)
         delta = jnp.einsum("...ir,...ro->...io", ab["a"], ab["b"])
         merged = w + (scale * delta).astype(w.dtype)
         if isinstance(ab, dict) and "m" in ab:
@@ -260,7 +280,10 @@ def merge_lora(params: Any, lora: Any, cfg: TuningConfig) -> Any:
             ).astype(w.dtype)
         return merged
 
-    return jax.tree_util.tree_map_with_path(combine, params)
+    from iadr1_tpu.models.quant import is_quantized
+
+    return jax.tree_util.tree_map_with_path(
+        combine, params, is_leaf=lambda x: is_quantized(x))
 
 
 def count_params(tree) -> int:

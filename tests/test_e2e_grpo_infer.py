@@ -162,6 +162,54 @@ def test_cli_infer_few_shot_multi_image(checkpoint_dir, tmp_path):
     assert all(a["gpt_answer"] in "ABE" for a in answers)
 
 
+def test_cli_grpo_qlora_int4(checkpoint_dir, tmp_path):
+    """QLoRA through the CLI (reference model_utils/quantization.py +
+    adapter.py): int4 blockwise-quantized frozen base, factored LoRA
+    adapters, reference elided -- the 7B-on-one-chip memory mode."""
+    from iadr1_tpu.cli.train_grpo import main
+
+    data_path, img_dir = build_iad_rl_dataset(tmp_path)
+    out_dir = str(tmp_path / "grpo_qlora_run")
+    cfg = {
+        "model": {"model_name_or_path": checkpoint_dir, "attention": "xla",
+                  "quant": "int4", "quant_block": 32},
+        "data": {
+            "dataset_name": data_path, "image_path": img_dir,
+            "template": "qwen2_vl", "patch_budget": 64,
+            "min_pixels": 56 * 56, "max_pixels": 56 * 56 * 4,
+        },
+        "grpo": {
+            "num_generations": 2, "max_prompt_length": 128,
+            "max_completion_length": 8, "beta": 0.04,
+        },
+        "finetuning": {"finetuning_type": "lora", "lora_rank": 4},
+        "mesh": {"dp": 1, "fsdp": 4, "tp": 2},
+        "optim": {"learning_rate": 1e-4, "warmup_ratio": 0.0},
+        "train": {"output_dir": out_dir, "max_steps": 2, "batch_size": 2,
+                  "logging_steps": 1, "save_steps": 0},
+    }
+    cfg_path = tmp_path / "grpo_qlora.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["--config", str(cfg_path)]) == 0
+    records = [json.loads(l) for l in
+               open(os.path.join(out_dir, "trainer_log.jsonl"))]
+    assert len(records) == 2
+    for r in records:
+        assert np.isfinite(r["loss"]) and np.isfinite(r["kl"])
+    # B=0 at init: policy == quantized base == elided reference -> KL 0
+    assert abs(records[0]["kl"]) < 1e-5
+
+    # quant without lora must be rejected (integer weights can't train)
+    bad = dict(cfg)
+    bad["finetuning"] = {"finetuning_type": "full"}
+    bad_path = tmp_path / "grpo_quant_full.json"
+    bad_path.write_text(json.dumps(bad))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="finetuning_type=lora"):
+        main(["--config", str(bad_path)])
+
+
 def test_cli_grpo_lora_ref_elision(checkpoint_dir, tmp_path):
     """LoRA GRPO through the CLI: factored adapters over a frozen base,
     reference model elided (one weight copy)."""

@@ -72,6 +72,154 @@ def test_quantized_forward_close():
     assert agree > 0.9
 
 
+def test_int4_roundtrip_and_layout():
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 64, 48)) * 0.2
+    qk = quantize_kernel(w, fmt="int4", block_size=32)
+    assert qk["q4"].dtype == jnp.uint8
+    assert qk["q4"].shape == (3, 32, 48)       # two values per byte
+    assert qk["scales"].shape == (3, 2, 48)    # 64 / block 32
+    from iadr1_tpu.models.quant import quantized_shape
+
+    assert quantized_shape(qk) == (3, 64, 48)
+    deq = np.asarray(dequantize_kernel(qk))
+    # symmetric RTN on [-7, 7]: error <= half a step = absmax/14 per block
+    scales = np.asarray(qk["scales"])[:, :, None, :]
+    err = np.abs(deq - np.asarray(w)).reshape(3, 2, 32, 48)
+    assert (err <= scales / 14 + 1e-6).all()
+    # grid values roundtrip exactly
+    grid = (np.repeat(np.arange(-7, 8), 2) / 7.0)[None, :, None] * np.full(
+        (1, 30, 4), 0.3)
+    qg = quantize_kernel(jnp.asarray(grid * 1.0), fmt="int4", block_size=30)
+    np.testing.assert_allclose(np.asarray(dequantize_kernel(qg)), grid,
+                               atol=1e-6)
+
+
+def test_nf4_roundtrip():
+    from iadr1_tpu.models.quant import NF4_CODE
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (128, 32)) * 0.1
+    qk = quantize_kernel(w, fmt="nf4", block_size=64)
+    assert qk["nf4"].shape == (64, 32)
+    assert qk["scales"].shape == (2, 32)
+    deq = np.asarray(dequantize_kernel(qk))
+    # error <= half the widest codebook gap times the block absmax
+    gaps = np.diff(np.asarray(NF4_CODE))
+    scales = np.asarray(qk["scales"])[:, None, :]
+    err = np.abs(deq - np.asarray(w)).reshape(2, 64, 32)
+    assert (err <= scales * gaps.max() / 2 + 1e-6).all()
+    # codebook values scale-roundtrip exactly
+    code = np.asarray(NF4_CODE)[None, :, None] * np.full((1, 16, 4), 0.7)
+    qc = quantize_kernel(jnp.asarray(code * 1.0), fmt="nf4", block_size=16)
+    np.testing.assert_allclose(np.asarray(dequantize_kernel(qc)), code,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_nf4_forward_close():
+    bundle = make_qwen2_bundle(TINY, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    qparams = quantize_tree(params, fmt="nf4")
+    now, bf16 = quantized_bytes(qparams)
+    assert now < bf16
+    # per-kernel: packed bytes ~ bf16/4 (+ scale overhead 1/block)
+    qk = qparams["layers"]["mlp"]["up"]["kernel"]
+    kb_now = qk["nf4"].size + qk["scales"].size * 4
+    in_dim, out = 64, 128
+    layers = 2
+    assert kb_now <= (2 * layers * in_dim * out) * (0.25 + 4 / 64 / 2 + 0.01)
+    rng = np.random.default_rng(0)
+    B, T = 2, 16
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 600, (B, T)), jnp.int32),
+        "segment_ids": jnp.ones((B, T), jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(T), (B, T)).copy(), jnp.int32),
+    }
+    full = np.asarray(jax.jit(bundle.forward)(params, batch), np.float64)
+    quant = np.asarray(jax.jit(bundle.forward)(qparams, batch), np.float64)
+    denom = np.abs(full).max()
+    assert np.abs(full - quant).max() / denom < 0.25
+    assert (full.argmax(-1) == quant.argmax(-1)).mean() > 0.8
+
+
+def test_qlora_trains_on_quantized_base():
+    """QLoRA composition (reference adapter.py + model_utils/quantization):
+    int4 base + factored LoRA adapters -- the SFT step updates ONLY the
+    adapters, the loss decreases, and merge_lora exports a dense model
+    whose forward matches base+adapters."""
+    import optax
+
+    from iadr1_tpu.data.tokenize import IGNORE_INDEX
+    from iadr1_tpu.train.adapters import (
+        TuningConfig, init_lora_params, merge_lora,
+    )
+
+    bundle = make_qwen2_bundle(TINY, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    qbase = quantize_tree(params, fmt="int4")
+    tcfg = TuningConfig(finetuning_type="lora", lora_rank=4)
+    lora = init_lora_params(jax.random.PRNGKey(1), params=qbase, cfg=tcfg)
+    # adapters exist on quantized kernels
+    assert lora["layers"]["attn"]["q"]["kernel"]["a"].shape[-1] == 4
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 24
+    ids = rng.integers(1, 600, (B, T))
+    labels = ids.copy()
+    labels[:, : T // 3] = IGNORE_INDEX
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "segment_ids": jnp.ones((B, T), jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(T), (B, T)).copy(), jnp.int32),
+    }
+
+    from iadr1_tpu.train.sft import chunked_sft_loss
+
+    def loss_fn(lora_p):
+        hidden = bundle.hidden_fn(qbase, batch, remat=False, lora=lora_p,
+                                  lora_scale=tcfg.lora_scale)
+        return chunked_sft_loss(hidden, bundle.head_kernel_fn(qbase),
+                                batch["labels"], chunk_size=16)[0]
+
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(lora)
+
+    @jax.jit
+    def step(lora_p, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(lora_p)
+        updates, opt_state = opt.update(grads, opt_state, lora_p)
+        return optax.apply_updates(lora_p, updates), opt_state, loss
+
+    losses = []
+    for _ in range(8):
+        lora, opt_state, loss = step(lora, opt_state)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"QLoRA did not learn: {losses}"
+
+    # merged export forward == quantized-base + adapters forward.  Compare
+    # under an f32 compute policy: the default bf16 activations round the
+    # factored two-term sum differently from the merged single matmul
+    # (~3e-2 at bf16 -- inherent to factored LoRA, same as peft), which
+    # would mask a real merge bug at any usable tolerance.
+    from iadr1_tpu.core.precision import Precision
+
+    f32 = make_qwen2_bundle(TINY, attention="xla",
+                            precision=Precision(compute_dtype=jnp.float32))
+    merged = merge_lora(qbase, lora, tcfg)
+    assert not is_quantized(merged["layers"]["attn"]["q"]["kernel"])
+
+    def lora_logits(p, l):
+        h = f32.hidden_fn(p, batch, remat=False, lora=l,
+                          lora_scale=tcfg.lora_scale)
+        return h @ f32.head_kernel_fn(p)
+
+    out_lora = np.asarray(jax.jit(lora_logits)(qbase, lora))
+    out_merged = np.asarray(jax.jit(f32.forward)(merged, batch))
+    np.testing.assert_allclose(out_lora, out_merged, rtol=2e-4, atol=2e-4)
+
+
 def test_quantized_generation_runs():
     bundle = make_qwen2_bundle(TINY, attention="xla")
     params = bundle.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16)

@@ -1,0 +1,143 @@
+"""QLoRA at 7B shapes on one 16 GB v5e chip (VERDICT r4 item #6).
+
+The point of the int4/NF4 path (models/quant.py): a full 7B-class decoder
+does NOT fit one chip in bf16 (13.6 GB params + activations + adapter
+optimizer > 16 GB HBM), but the nibble-packed int4 base (~3.7 GB incl.
+scales; embeddings/head stay bf16) leaves room to TRAIN factored LoRA
+adapters on top -- the reference's bnb-4bit + LoRA mode
+(model_utils/quantization.py + adapter.py) without a quantization library.
+
+Reports: quantized bytes vs bf16, one chunked-CE LoRA train step's time,
+loss/grad-norm finiteness, and whether the bf16 control fits (expected:
+RESOURCE_EXHAUSTED).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+HF = dict(vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+          num_hidden_layers=28, num_attention_heads=28,
+          num_key_value_heads=4, rope_theta=1e6, tie_word_embeddings=True,
+          architectures=["Qwen2ForCausalLM"])
+B, T = 2, 2048
+
+
+def _sync(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def build_step(quant_fmt):
+    import jax
+    import jax.numpy as jnp
+
+    from iadr1_tpu.data.tokenize import IGNORE_INDEX
+    from iadr1_tpu.models.quant import quantize_tree, quantized_bytes
+    from iadr1_tpu.models.registry import make_qwen2_bundle
+    from iadr1_tpu.train import OptimizerConfig, make_optimizer
+    from iadr1_tpu.train.adapters import TuningConfig, init_lora_params
+    from iadr1_tpu.train.sft import make_chunked_sft_step
+    from iadr1_tpu.train.state import create_sharded_state
+
+    from iadr1_tpu.models.quant import default_quant_predicate, quantize_kernel
+
+    bundle = make_qwen2_bundle(HF, attention="flash")
+    # leaf-wise host init + on-the-fly quantization: a full bf16 tree plus
+    # the PRNG's f32 temporaries is ~27 GB transient -- HBM-OOM before the
+    # quantize even runs.  Here each leaf materializes alone (largest is
+    # the 136 MB bf16 MLP kernel), is quantized, and the fp original is
+    # dropped before the next leaf.
+    shapes = jax.eval_shape(
+        lambda: bundle.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+    host = np.random.default_rng(0)
+
+    def _path_str(path):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+
+    def make(path, s):
+        arr = jnp.asarray(
+            (host.standard_normal(s.shape) * 0.02).astype(np.float32),
+            jnp.bfloat16)
+        if quant_fmt != "none" and default_quant_predicate(
+                _path_str(path), arr):
+            q = jax.tree.map(lambda x: x.block_until_ready(),
+                             quantize_kernel(arr, fmt=quant_fmt))
+            del arr
+            return q
+        return arr
+
+    params = jax.tree_util.tree_map_with_path(make, shapes)
+    report = {}
+    if quant_fmt != "none":
+        now, bf16 = quantized_bytes(params)
+        report["param_bytes"] = now
+        report["param_bytes_bf16"] = bf16
+        report["shrink"] = round(bf16 / now, 2)
+    tcfg = TuningConfig(finetuning_type="lora", lora_rank=16)
+    lora = init_lora_params(jax.random.PRNGKey(1), params, tcfg)
+    optimizer, schedule = make_optimizer(
+        OptimizerConfig(learning_rate=1e-4, total_steps=100))
+    state = create_sharded_state(lora, optimizer)
+
+    def hidden_fn(lora_p, batch):
+        return bundle.hidden_fn(params, batch, remat=True, lora=lora_p,
+                                lora_scale=tcfg.lora_scale)
+
+    step = make_chunked_sft_step(
+        hidden_fn, lambda _lp: bundle.head_kernel_fn(params), optimizer,
+        schedule, chunk_size=2048, logits_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, HF["vocab_size"], (B, T))
+    labels = ids.copy()
+    labels[:, : T // 4] = IGNORE_INDEX
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "labels": jnp.asarray(labels, jnp.int32),
+        "segment_ids": jnp.ones((B, T), jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(T), (B, T)).copy(), jnp.int32),
+    }
+    return state, step, batch, report
+
+
+def run(quant_fmt, steps=5):
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from bench import _release_device_memory
+
+    try:
+        state, step, batch, report = build_step(quant_fmt)
+        state, metrics = step(state, batch)       # compile + step 1
+        _sync(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step(state, batch)
+        loss = _sync(metrics["loss"])
+        gnorm = float(np.asarray(metrics["grad_norm"]))
+        report.update(
+            step_sec=round((time.perf_counter() - t0) / steps, 3),
+            loss=round(loss, 4), grad_norm=round(gnorm, 5),
+            tokens_per_sec=round(B * T * steps / (time.perf_counter() - t0), 1),
+            ok=bool(np.isfinite(loss) and gnorm > 0),
+        )
+    except Exception as e:  # noqa: BLE001 -- OOM is an expected outcome
+        report = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        e.__traceback__ = None
+        del e
+    _release_device_memory()
+    return report
+
+
+def main():
+    out = {"int4": run("int4"), "nf4": run("nf4"),
+           "bf16_control": run("none", steps=1)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
