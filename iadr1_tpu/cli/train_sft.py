@@ -377,6 +377,12 @@ def main(argv=None):
         collate = text_batch
     batches = batch_iterator(rows, loop_cfg.batch_size, loop_cfg.seed, collate,
                              skip=start_step)
+    # explicit batch shardings: token arrays over (dp, fsdp), vision aux
+    # replicated -- consecutive programs otherwise get incompatible
+    # auto-sharding guesses (SPMD involuntary full rematerialization)
+    from iadr1_tpu.core.mesh import shard_batch
+
+    batches = (shard_batch(mesh, b) for b in batches)
 
     tcfg = getattr(bundle.cfg, "text", bundle.cfg)
     meter = ThroughputMeter(

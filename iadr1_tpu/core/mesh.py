@@ -185,3 +185,123 @@ def pytree_shardings(
         logical_tree,
         is_leaf=lambda x: isinstance(x, tuple),
     )
+
+
+# Batch keys whose LEADING dim is the example batch (split over dp x fsdp).
+# Everything else -- the host-precomputed vision index plans (patch stream,
+# rotary tables, window permutations, scatter indices) -- replicates: they
+# are small, consumed by gathers/scatters that would otherwise force XLA to
+# guess a layout per program, and inconsistent guesses across consecutive
+# programs trigger SPMD involuntary full rematerialization (observed on the
+# f32[1,8,64] vision rotary tables entering prefill vs update with
+# incompatible auto-shardings).
+_BATCH_LEADING_KEYS = frozenset({
+    "input_ids", "labels", "segment_ids", "attention_mask",
+    "prompt_ids", "prompt_segments", "prompt_positions",
+    "completion_ids", "completion_mask", "completion_positions",
+    "advantages", "old_logps", "ref_logps", "rewards",
+    "chosen_ids", "rejected_ids", "chosen_labels", "rejected_labels",
+    "mrope_deltas",
+})
+
+
+def batch_shardings(mesh: Mesh, batch: Mapping[str, Any]) -> dict:
+    """Explicit NamedShardings for a training/rollout batch dict.
+
+    Token-shaped arrays split their batch dim over (dp, fsdp) when it
+    divides evenly (falling back to replication otherwise -- tiny smoke
+    batches); ``position_ids`` may carry a leading M-RoPE section axis
+    [3, B, T] whose batch dim is axis 1; all vision auxiliaries replicate.
+    """
+    n_batch_devs = mesh.shape["dp"] * mesh.shape["fsdp"]
+    data = P(("dp", "fsdp"))
+    rep = P()
+
+    def spec_for(key, v):
+        shape = getattr(v, "shape", None)
+        if shape is None:
+            return rep
+        if key == "position_ids":
+            if len(shape) == 3:  # [sections, B, T] M-RoPE layout
+                if shape[1] % n_batch_devs == 0:
+                    return P(None, ("dp", "fsdp"))
+                return rep
+            key = "input_ids"  # fall through to batch-leading handling
+        if key in _BATCH_LEADING_KEYS and shape and \
+                shape[0] % n_batch_devs == 0:
+            return data
+        return rep
+
+    return {k: NamedSharding(mesh, spec_for(k, v)) for k, v in batch.items()}
+
+
+def constrain_replicated(x):
+    """Pin a small aux array to a fully-replicated sharding under the
+    ambient kernel mesh (no-op without one).
+
+    Use inside rematerialized regions on host-precomputed index plans
+    (vision rotary tables, scatter plans): XLA otherwise auto-picks a
+    sharding per program side of the jax.checkpoint boundary, and a
+    fwd-vs-replay mismatch forces SPMD involuntary full rematerialization
+    (observed on f32[1,8,64] rotary tables at the 8-device dryrun)."""
+    mesh = kernel_mesh()
+    if mesh is None or x is None:
+        return x
+    try:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P()))
+    except Exception:  # outside jit, or incompatible context
+        return x
+
+
+def constrain_batch_aux(x):
+    """Pin a batch-leading derived array (rope cos/sin tables) to an
+    explicit sharding under the ambient kernel mesh: batch dim over
+    (dp, fsdp) when divisible, replicated otherwise.  Same motivation as
+    constrain_replicated -- the fwd and the jax.checkpoint replay
+    otherwise auto-pick different shardings for these small tensors and
+    SPMD inserts an involuntary full rematerialization between them."""
+    mesh = kernel_mesh()
+    shape = getattr(x, "shape", None)
+    if mesh is None or not shape:
+        return x
+    n = mesh.shape["dp"] * mesh.shape["fsdp"]
+    if shape[0] >= n and shape[0] % n == 0:
+        spec = P(("dp", "fsdp"), *([None] * (len(shape) - 1)))
+    else:
+        spec = P()
+    try:
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    except Exception:  # outside jit or incompatible trace context
+        return x
+
+
+def constrain_scan_chunks(x):
+    """Pin a [n_chunks, chunk, ...] scan input (chunked-CE / chunked-logp
+    token blocks) to a consistent sharding: chunk rows over (dp, fsdp)
+    when divisible, replicated otherwise.  Each chunk crosses a
+    jax.checkpoint boundary per scan step; without the constraint the fwd
+    and the replay auto-pick different layouts (SPMD involuntary full
+    rematerialization, observed on the MoE chunked-CE and shared-prompt
+    GRPO logp legs of the 8-device dryrun)."""
+    mesh = kernel_mesh()
+    shape = getattr(x, "shape", None)
+    if mesh is None or not shape or len(shape) < 2:
+        return x
+    n = mesh.shape["dp"] * mesh.shape["fsdp"]
+    if shape[1] >= n and shape[1] % n == 0:
+        spec = P(None, ("dp", "fsdp"), *([None] * (len(shape) - 2)))
+    else:
+        spec = P()
+    try:
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    except Exception:  # outside jit or incompatible trace context
+        return x
+
+
+def shard_batch(mesh: Mesh, batch: Mapping[str, Any]) -> dict:
+    """device_put the batch with batch_shardings -- call before feeding a
+    jit program so consecutive programs (prefill/update, xla/flash) see one
+    consistent layout instead of per-program auto-sharding guesses."""
+    shardings = batch_shardings(mesh, batch)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

@@ -54,12 +54,14 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
 def dense(x: jax.Array, kernel, bias: jax.Array | None = None):
     """x @ kernel with f32 accumulation; kernel layout is [in, out].
 
-    ``kernel`` may be an int8 weight-only quant dict
-    ({"qvalues", "scales"}, models/quant.py): the dequant multiply fuses
-    into the matmul's tile load, halving weight HBM traffic."""
+    ``kernel`` may be a weight-only quant dict (int8 per-channel or
+    packed int4/nf4 blockwise, models/quant.py): the dequant producer --
+    a few elementwise ops -- fuses into the matmul's operand read, so
+    weight HBM traffic drops 2x (int8) / 4x (int4, nf4)."""
     if isinstance(kernel, dict):
-        kernel = (kernel["qvalues"].astype(x.dtype)
-                  * kernel["scales"].astype(x.dtype))
+        from iadr1_tpu.models.quant import dequantize_kernel
+
+        kernel = dequantize_kernel(kernel, x.dtype)
     out = jnp.einsum(
         "...i,io->...o", x, kernel.astype(x.dtype),
         preferred_element_type=jnp.float32,
@@ -151,7 +153,11 @@ def rope_cos_sin(position_ids: jax.Array, head_dim: int, theta: float,
     inv_freq = scaled_rope_inv_freq(head_dim, theta, scaling, seq_len)
     freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [...,T,d/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    # explicit sharding: the fwd and the remat replay otherwise auto-pick
+    # different layouts for these small tables (SPMD involuntary remat)
+    from iadr1_tpu.core.mesh import constrain_batch_aux
+
+    return constrain_batch_aux(jnp.cos(emb)), constrain_batch_aux(jnp.sin(emb))
 
 
 def mrope_cos_sin(
@@ -181,7 +187,10 @@ def mrope_cos_sin(
         start += sec
     half = jnp.concatenate(splits, axis=-1)  # [B, T, d/2]
     emb = jnp.concatenate([half, half], axis=-1)
-    return jnp.cos(emb), jnp.sin(emb)
+    # see rope_cos_sin: pin a consistent sharding across fwd/remat-replay
+    from iadr1_tpu.core.mesh import constrain_batch_aux
+
+    return constrain_batch_aux(jnp.cos(emb)), constrain_batch_aux(jnp.sin(emb))
 
 
 def rotate_half(x: jax.Array) -> jax.Array:

@@ -284,6 +284,11 @@ def apply_vision(
     H, D = cfg.num_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     h = dense(patches.astype(precision.compute_dtype), params["patch_embed"]["kernel"])
+    # replicated inside the remat region (see qwen2_vl.apply_vision note)
+    from iadr1_tpu.core.mesh import constrain_replicated
+
+    rot_cos = constrain_replicated(rot_cos)
+    rot_sin = constrain_replicated(rot_sin)
     cos = rot_cos[None, :, None, :]
     sin = rot_sin[None, :, None, :]
 

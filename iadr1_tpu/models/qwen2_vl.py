@@ -163,6 +163,13 @@ def apply_vision(
     h = dense(
         patches.astype(precision.compute_dtype), params["patch_embed"]["kernel"]
     )
+    # replicate the host-precomputed tables inside the remat region: XLA
+    # otherwise picks different shardings for the fwd and the checkpoint
+    # replay (SPMD involuntary full remat; core/mesh.constrain_replicated)
+    from iadr1_tpu.core.mesh import constrain_replicated
+
+    rot_cos = constrain_replicated(rot_cos)
+    rot_sin = constrain_replicated(rot_sin)
     cos = rot_cos[None, :, None, :]
     sin = rot_sin[None, :, None, :]
     segs = segment_ids[None, :]

@@ -106,6 +106,11 @@ def chunked_token_logps(
     n_chunks = h.shape[0] // chunk_size
     h = h.reshape(n_chunks, chunk_size, H)
     t = t.reshape(n_chunks, chunk_size)
+    # consistent sharding across the per-chunk checkpoint boundary
+    # (core/mesh.constrain_scan_chunks)
+    from iadr1_tpu.core.mesh import constrain_scan_chunks
+
+    h = constrain_scan_chunks(h)
 
     @jax.checkpoint
     def chunk_fn(_, xs):
@@ -235,6 +240,9 @@ def make_grpo_update_step(score_fn, optimizer, cfg: GRPOConfig,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        from iadr1_tpu.train.sft import optax_global_norm
+
+        metrics["grad_norm"] = optax_global_norm(grads)
         new_state = state.apply_gradients(grads, optimizer)
         if schedule is not None:
             metrics["learning_rate"] = schedule(state.step)

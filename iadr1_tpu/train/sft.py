@@ -79,6 +79,11 @@ def chunked_sft_loss(
     h = h.reshape(n_chunks, chunk_size, H)
     safe_t = safe_t.reshape(n_chunks, chunk_size)
     mask_p = mask_p.reshape(n_chunks, chunk_size)
+    # consistent sharding across the per-chunk checkpoint boundary
+    # (core/mesh.constrain_scan_chunks)
+    from iadr1_tpu.core.mesh import constrain_scan_chunks
+
+    h = constrain_scan_chunks(h)
 
     @jax.checkpoint
     def chunk_fn(carry, xs):
