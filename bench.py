@@ -49,7 +49,10 @@ def bench_sft_text(on_tpu: bool) -> dict:
                   num_key_value_heads=2, rope_theta=1e6,
                   tie_word_embeddings=True,
                   architectures=["Qwen2ForCausalLM"])
-        B, T, steps, warmup = 8, 4096, 20, 3
+        # B sweep with the stacked fwd kv-block-1024 kernel default
+        # (round-4, tools/probe_sft_perf.py): B=4 22,953 tok/s (40.7% MFU),
+        # B=8 22,270 (39.5%), B=12/16 HBM OOM -- B=4 is the recipe point
+        B, T, steps, warmup = 4, 4096, 30, 3
     else:
         hf = dict(vocab_size=1024, hidden_size=128, intermediate_size=256,
                   num_hidden_layers=2, num_attention_heads=4,
@@ -434,13 +437,24 @@ def bench_grpo_vlm(on_tpu: bool) -> dict:
         schedule=schedule, template=template, prompt_collator=collator,
         base_params=params, tuning_cfg=tcfg,
     )
-    m = trainer.step(examples)  # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    # two warmup steps (the first compiles rollout+update; the second
+    # lands the steady-state execution path), then per-step times with a
+    # median report -- the round-3 leg swung +-5% run to run on a single
+    # 3-step mean (VERDICT r3 weak #4)
+    warmup = 2 if on_tpu else 1
+    steps = max(steps, 5 if on_tpu else steps)
+    for _ in range(warmup):
         m = trainer.step(examples)
-    dt = (time.perf_counter() - t0) / steps
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        m = trainer.step(examples)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     return {"step_sec": round(dt, 2),
             "rollouts_per_sec": round(n_prompts * G / dt, 2),
+            "step_sec_min": round(min(times), 2),
+            "step_sec_max": round(max(times), 2),
             "loss": m["loss"], "kl": m["kl"], "G": G, "prompts": n_prompts,
             "P": P, "N": N, "image_tokens": int(seqlen)}
 

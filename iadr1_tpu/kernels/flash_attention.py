@@ -67,16 +67,27 @@ class BlockSizes(NamedTuple):
     # per-cell VMEM footprint shrinks by the group factor, admitting
     # larger q blocks
     dq_per_qhead: bool = False
+    # fwd kv block when the GQA group is stacked (None = follow block_k).
+    # Explicit BlockSizes(...) callers keep exact control; only
+    # default_blocks() opts into the larger stacked tile.
+    block_k_stacked: int | None = None
 
 
 def default_blocks() -> BlockSizes:
     """BlockSizes from $IADR1_FLASH_BLOCKS ("bq,bk,bq_dkv,bk_dkv,bq_dq,
     bk_dq") when set -- the hardware-tuning knob for odd-shaped chips --
-    else the measured v5e defaults."""
+    else the measured v5e defaults.  The default stacked fwd kv block is
+    1024: the group-row cap holds the scores tile at [group*256, 1024]
+    f32 = 7.3 MB, measured +2.2% step throughput on the v5e 0.5B leg over
+    512 (the docs/kernels.md "fwd block 1024 OOM" applied to the looped
+    per-head path)."""
     env = os.environ.get("IADR1_FLASH_BLOCKS")
     if env:
-        return BlockSizes(*[int(x) for x in env.split(",")])
-    return BlockSizes()
+        vals = [int(x) for x in env.split(",")]
+        # 6 values: the stacked fwd follows block_k (sweep semantics)
+        return BlockSizes(*vals[:6], block_k_stacked=(
+            vals[6] if len(vals) > 6 else vals[1]))
+    return BlockSizes(block_k_stacked=1024)
 
 
 def _use_stacked(group: int, d: int) -> bool:
@@ -95,12 +106,17 @@ def _use_stacked(group: int, d: int) -> bool:
 
 
 # stacked [group*bq, bk] f32 intermediates live in VMEM; cap the stacked
-# row count so s/p/ds/dp blocks stay within budget
+# row count so s/p/ds/dp blocks stay within budget (tunable:
+# IADR1_FLASH_STACKED_ROWS)
 _STACKED_ROW_CAP = 2048
 
 
+def _stacked_row_cap() -> int:
+    return int(os.environ.get("IADR1_FLASH_STACKED_ROWS", _STACKED_ROW_CAP))
+
+
 def _stacked_bq(bq: int, group: int) -> int:
-    cap = max(128, _STACKED_ROW_CAP // group)
+    cap = max(128, _stacked_row_cap() // group)
     cap = (cap // 128) * 128
     return min(bq, cap)
 
@@ -181,6 +197,132 @@ def _zero_oob_rows(x, tile_idx, block: int, length: int):
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
+
+
+def _use_transposed() -> bool:
+    """Transposed-intermediate stacked fwd (opt-in: IADR1_FLASH_TRANSPOSED).
+
+    At D=64 the natural-layout PV pass ([rows, bk] @ [bk, D]) drives only
+    64 of the MXU's 128 output lanes; the transposed pass o^T = v^T p^T is
+    contraction-major on both operands with a (group*block_q)-wide output
+    -- full lane width -- and the online-softmax statistics become LANE
+    vectors, making the running max/sum/rescale lane-parallel."""
+    return os.environ.get("IADR1_FLASH_TRANSPOSED", "0") not in ("0", "false")
+
+
+def _tile_mask_t(
+    q_idx, kv_idx, block_q, block_k, q_seg, kv_seg, causal: bool,
+    q_len: int | None = None, kv_len: int | None = None, group: int = 1,
+):
+    """_tile_mask in the transposed orientation: [block_k, group*block_q]
+    (kv on sublanes, stacked q on lanes; the group tiles along lanes).
+
+    Built directly in 2D -- a [bk, G, bq] -> [bk, G*bq] bool reshape is a
+    sublane->lane merge Mosaic cannot lower ("unsupported shape cast");
+    the lane position within the stacked row is recovered as iota % bq.
+    """
+    rows = group * block_q
+    kv_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, rows), 0
+    )
+    q_pos = q_idx * block_q + (
+        jax.lax.broadcasted_iota(jnp.int32, (block_k, rows), 1) % block_q
+    )
+    mask = None
+
+    def conj(m, pred):
+        return pred if m is None else (m & pred)
+
+    if causal:
+        mask = conj(mask, q_pos >= kv_pos)
+    if q_len is not None and q_len % block_q != 0:
+        mask = conj(mask, q_pos < q_len)
+    if kv_len is not None and kv_len % block_k != 0:
+        mask = conj(mask, kv_pos < kv_len)
+    if q_seg is not None:
+        # q_seg arrives PRE-TILED to [group*block_q] (built XLA-side in
+        # _fwd): both in-kernel tilings -- 1-D lane concatenate and
+        # sublane->lane reshape -- are unsupported Mosaic shape casts
+        mask = conj(
+            mask,
+            (kv_seg[:, None] == q_seg[None, :]) & (kv_seg[:, None] != 0),
+        )
+    if mask is None:
+        return None
+    return mask
+
+
+def _fwd_kernel_t(
+    q_ref, k_ref, v_ref, q_seg_ref, kv_seg_ref,
+    o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, causal: bool, num_kv_blocks: int, group: int,
+    q_len: int, kv_len: int,
+):
+    """Stacked-group forward with transposed intermediates.
+
+    s/p tiles live [block_k, group*block_q], the accumulator
+    [D, group*block_q], stats [1, group*block_q] (stored on 8 sublanes).
+    One [D, rows] -> [rows, D] transpose per cell at the final store.
+    Numerics are identical to _fwd_kernel up to f32 reduction order.
+    """
+    q_idx, kv_idx = pl.program_id(2), pl.program_id(3)
+    block_q = q_ref.shape[2]
+    block_k = k_ref.shape[2]
+    D = q_ref.shape[3]
+    G = group
+    rows = G * block_q
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    should_run = True
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(should_run)
+    def _run():
+        k = _zero_oob_rows(k_ref[0, 0], kv_idx, block_k, kv_len)
+        v = _zero_oob_rows(v_ref[0, 0], kv_idx, block_k, kv_len)
+        q = q_ref[0].reshape(rows, D)
+        # pre-tiled [1, 1, 1, rows] block (see _fwd)
+        q_seg = q_seg_ref[0, 0, 0] if q_seg_ref is not None else None
+        kv_seg = kv_seg_ref[0, 0] if kv_seg_ref is not None else None
+        maskT = _tile_mask_t(q_idx, kv_idx, block_q, block_k, q_seg, kv_seg,
+                             causal, q_len=q_len, kv_len=kv_len, group=G)
+        sT = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        if maskT is not None:
+            sT = jnp.where(maskT, sT, DEFAULT_MASK_VALUE)
+        m_prev = m_scratch[0:1]                       # [1, rows]
+        l_prev = l_scratch[0:1]
+        m_next = jnp.maximum(m_prev, jnp.max(sT, axis=0)[None, :])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(sT - m_next)
+        l_scratch[...] = jnp.broadcast_to(
+            alpha * l_prev + jnp.sum(p, axis=0)[None, :], l_scratch.shape)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        oT = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # [D, rows]
+        acc_scratch[...] = acc_scratch[...] * alpha + oT
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[0:1]                            # [1, rows]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o = (acc_scratch[...] * l_inv).T.reshape(G, block_q, D)
+        o_ref[0] = o.astype(o_ref.dtype)
+        m = m_scratch[0:1]
+        lse = jnp.where(l == 0.0, jnp.inf, m / LOG2E + jnp.log(l))
+        lse_ref[0] = jnp.broadcast_to(
+            lse.T.reshape(G, block_q, 1), lse_ref.shape[1:])
 
 
 def _fwd_kernel(
@@ -286,8 +428,10 @@ def _fwd(
     bq, bk = min(blocks.block_q, T), min(blocks.block_k, S)
     if stacked:
         bq = min(bq, _stacked_bq(blocks.block_q, group))
+        bk = min(blocks.block_k_stacked or blocks.block_k, S)
     nq, nkv = pl.cdiv(T, bq), pl.cdiv(S, bk)
 
+    transposed = stacked and _use_transposed()
     in_specs = [
         pl.BlockSpec((1, group, bq, D), lambda b, h, q_, kv: (b, h, q_, 0)),
         pl.BlockSpec((1, 1, bk, D), lambda b, h, q_, kv: (b, h, kv, 0)),
@@ -296,12 +440,42 @@ def _fwd(
         pl.BlockSpec((1, 1, bk), lambda b, h, q_, kv: (b, 0, kv)),
     ]
     args = [q, k, v, q_segment_ids[:, None, :], kv_segment_ids[:, None, :]]
+    if transposed:
+        # pre-tile q segments to the stacked lane layout [B, nq, group*bq]
+        # (each q block's bq run repeated group times): in-kernel tilings
+        # are unsupported Mosaic shape casts (see _tile_mask_t)
+        qs = q_segment_ids
+        if nq * bq != T:
+            qs = jnp.pad(qs, ((0, 0), (0, nq * bq - T)))
+        qs = jnp.broadcast_to(
+            qs.reshape(B, nq, 1, bq), (B, nq, group, bq)
+        ).reshape(B, nq, 1, group * bq)
+        in_specs[3] = pl.BlockSpec(
+            (1, 1, 1, group * bq), lambda b, h, q_, kv: (b, q_, 0, 0))
+        args[3] = qs
 
-    out, lse = pl.pallas_call(
-        functools.partial(
+    if transposed:
+        kernel = functools.partial(
+            _fwd_kernel_t, scale=scale, causal=causal, num_kv_blocks=nkv,
+            group=group, q_len=T, kv_len=S,
+        )
+        scratch = [
+            pltpu.VMEM((8, group * bq), jnp.float32),
+            pltpu.VMEM((8, group * bq), jnp.float32),
+            pltpu.VMEM((D, group * bq), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
             _fwd_kernel, scale=scale, causal=causal, num_kv_blocks=nkv,
             group=group, q_len=T, kv_len=S, stacked=stacked,
-        ),
+        )
+        scratch = [
+            pltpu.VMEM((group, bq, RES_LANES), jnp.float32),
+            pltpu.VMEM((group, bq, RES_LANES), jnp.float32),
+            pltpu.VMEM((group, bq, D), jnp.float32),
+        ]
+    out, lse = pl.pallas_call(
+        kernel,
         grid=(B, Hkv, nq, nkv),
         in_specs=in_specs,
         out_specs=[
@@ -313,11 +487,7 @@ def _fwd(
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, T, RES_LANES), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((group, bq, RES_LANES), jnp.float32),
-            pltpu.VMEM((group, bq, RES_LANES), jnp.float32),
-            pltpu.VMEM((group, bq, D), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),

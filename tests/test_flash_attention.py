@@ -161,6 +161,47 @@ def test_partial_tiles_forward_and_backward(T):
             err_msg=f"partial-tile grad mismatch for d{name}")
 
 
+def test_transposed_matches_stacked(monkeypatch):
+    """The transposed-intermediate stacked fwd (IADR1_FLASH_TRANSPOSED;
+    s/p tiles [bk, group*bq], accumulator [D, rows]) must match the
+    natural-layout stacked path -- fwd and, through the shared VJP that
+    consumes its (out, lse), the gradients too.  Kept as a measured
+    alternative: on v5e it wins ~3% standalone fwd at bk=512 but loses
+    in-step at every block size (docs/kernels.md round-4 notes)."""
+    T = 352
+    B, H, Hkv, D = 2, 14, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(13), B, H, Hkv, T, D)
+    segs = jnp.asarray(
+        np.concatenate([
+            np.ones((B, T // 2), np.int32),
+            np.full((B, T - T // 2 - 16), 2, np.int32),
+            np.zeros((B, 16), np.int32),
+        ], axis=1))
+    blocks = BlockSizes(128, 128, 128, 128, 128, 128)
+
+    def run():
+        def loss(q, k, v):
+            o = flash_attention(q, k, v, segment_ids=segs, causal=True,
+                                blocks=blocks, interpret=True)
+            return jnp.sum(o.astype(jnp.float32) ** 2), o
+
+        (l, o), grads = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                           has_aux=True)(q, k, v)
+        return o, grads
+
+    monkeypatch.setenv("IADR1_FLASH_STACKED", "1")
+    monkeypatch.setenv("IADR1_FLASH_TRANSPOSED", "0")
+    o_n, g_n = run()
+    monkeypatch.setenv("IADR1_FLASH_TRANSPOSED", "1")
+    o_t, g_t = run()
+    np.testing.assert_allclose(np.asarray(o_n), np.asarray(o_t),
+                               rtol=1e-6, atol=1e-6)
+    for name, a, b in zip("qkv", g_n, g_t):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+            err_msg=f"transposed/stacked grad mismatch for d{name}")
+
+
 @pytest.mark.parametrize("T", [256, 352])
 def test_stacked_group_matches_looped(T, monkeypatch):
     """The stacked-group path (GQA query group folded onto the matmul M

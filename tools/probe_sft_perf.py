@@ -20,7 +20,20 @@ def _sync(x):
 
 def run_variant(fused_ce: bool, remat, steps: int, warmup: int = 3,
                 chunk: int = 4096, batch_size: int = 8,
-                logits_dtype="float32"):
+                logits_dtype="float32", blocks=None, rows=None,
+                transposed=False):
+    import os
+
+    os.environ["IADR1_FLASH_TRANSPOSED"] = "1" if transposed else "0"
+
+    if blocks:
+        os.environ["IADR1_FLASH_BLOCKS"] = blocks
+    else:
+        os.environ.pop("IADR1_FLASH_BLOCKS", None)
+    if rows:
+        os.environ["IADR1_FLASH_STACKED_ROWS"] = str(rows)
+    else:
+        os.environ.pop("IADR1_FLASH_STACKED_ROWS", None)
     import jax
     import jax.numpy as jnp
 
@@ -115,6 +128,71 @@ def main():
         "qkv_chunk2k": dict(fused_ce=False, remat="save_qkv", chunk=2048),
         "qkv_bf16_chunk8k": dict(fused_ce=False, remat="save_qkv",
                                  chunk=8192, logits_dtype="bfloat16"),
+        # flash block retunes on the stacked-GQA kernels (env override;
+        # "bq,bk,bq_dkv,bk_dkv,bq_dq,bk_dq")
+        "qkv_bf16_dq512": dict(fused_ce=False, remat="save_qkv",
+                               logits_dtype="bfloat16",
+                               blocks="512,512,512,512,512,512"),
+        "qkv_bf16_dkvk1024": dict(fused_ce=False, remat="save_qkv",
+                                  logits_dtype="bfloat16",
+                                  blocks="512,512,512,1024,256,512"),
+        "qkv_bf16_dkvq256": dict(fused_ce=False, remat="save_qkv",
+                                 logits_dtype="bfloat16",
+                                 blocks="512,512,256,512,256,512"),
+        "qkv_bf16_fwdk1024": dict(fused_ce=False, remat="save_qkv",
+                                  logits_dtype="bfloat16",
+                                  blocks="512,1024,512,512,256,512"),
+        "qkv_bf16_dqk1024": dict(fused_ce=False, remat="save_qkv",
+                                 logits_dtype="bfloat16",
+                                 blocks="512,512,512,512,256,1024"),
+        "qkv_bf16_fwdq256k1024": dict(fused_ce=False, remat="save_qkv",
+                                      logits_dtype="bfloat16",
+                                      blocks="256,1024,512,512,256,512"),
+        "qkv_bf16_fwdq1024": dict(fused_ce=False, remat="save_qkv",
+                                  logits_dtype="bfloat16",
+                                  blocks="1024,512,512,512,256,512"),
+        "qkv_bf16_fwdk1024_dkvq1024": dict(fused_ce=False, remat="save_qkv",
+                                           logits_dtype="bfloat16",
+                                           blocks="512,1024,1024,512,256,512"),
+        "qkv_bf16_fwdk1024_dkvq256": dict(fused_ce=False, remat="save_qkv",
+                                          logits_dtype="bfloat16",
+                                          blocks="512,1024,256,512,256,512"),
+        "qkv_bf16_fwdk1024_dq128": dict(fused_ce=False, remat="save_qkv",
+                                        logits_dtype="bfloat16",
+                                        blocks="512,1024,512,512,128,512"),
+        "fwdk1024_rows4096": dict(fused_ce=False, remat="save_qkv",
+                                  logits_dtype="bfloat16", rows=4096,
+                                  blocks="512,1024,256,512,128,512"),
+        "fwdk512_rows4096": dict(fused_ce=False, remat="save_qkv",
+                                 logits_dtype="bfloat16", rows=4096,
+                                 blocks="512,512,256,512,128,512"),
+        "fwd_bq256k2048": dict(fused_ce=False, remat="save_qkv",
+                               logits_dtype="bfloat16",
+                               blocks="256,2048,512,512,256,512"),
+        "fwd_bq384k1024": dict(fused_ce=False, remat="save_qkv",
+                               logits_dtype="bfloat16", rows=2688,
+                               blocks="384,1024,512,512,256,512"),
+        "fwd_bq256k1536": dict(fused_ce=False, remat="save_qkv",
+                               logits_dtype="bfloat16",
+                               blocks="256,1536,512,512,256,512"),
+        "transposed": dict(fused_ce=False, remat="save_qkv",
+                           logits_dtype="bfloat16", transposed=True),
+        "transposed_k512": dict(fused_ce=False, remat="save_qkv",
+                                logits_dtype="bfloat16", transposed=True,
+                                blocks="512,512,512,512,256,512"),
+        "transposed_k2048": dict(fused_ce=False, remat="save_qkv",
+                                 logits_dtype="bfloat16", transposed=True,
+                                 blocks="512,2048,512,512,256,512"),
+        "transposed_r1344k1024": dict(fused_ce=False, remat="save_qkv",
+                                      logits_dtype="bfloat16",
+                                      transposed=True, rows=1344,
+                                      blocks="512,1024,512,512,256,512"),
+        "b12": dict(fused_ce=False, remat="save_qkv",
+                    logits_dtype="bfloat16", batch_size=12),
+        "b16": dict(fused_ce=False, remat="save_qkv",
+                    logits_dtype="bfloat16", batch_size=16),
+        "b4": dict(fused_ce=False, remat="save_qkv",
+                   logits_dtype="bfloat16", batch_size=4),
     }
     names = (args.variants.split(",") if args.variants
              else ["base", "fused", "fused_qkv", "qkv"])
