@@ -144,7 +144,15 @@ def run_predict(bundle, params, tokenizer, template, data_cfg: DataSection,
             f.write(json.dumps(
                 {"prompt": prompt, "label": label, "predict": predict},
                 ensure_ascii=False) + "\n")
-    print(f"predictions saved to {path}")
+    # predict_results.json: ROUGE/BLEU similarity scores (the reference's
+    # ComputeSimilarity metrics logged by CustomSeq2SeqTrainer.predict)
+    from iadr1_tpu.train.metrics_text import similarity_scores
+
+    scores = similarity_scores(preds, labels)
+    with open(os.path.join(output_dir, "predict_results.json"), "w") as f:
+        json.dump({f"predict_{k}": v for k, v in scores.items()}, f, indent=1)
+    print(f"predictions saved to {path}; similarity: "
+          + ", ".join(f"{k}={v:.2f}" for k, v in scores.items()))
     return path
 
 

@@ -139,6 +139,13 @@ def test_cli_sft_end_to_end(checkpoint_dir, dataset, tmp_path):
     assert all(set(p) == {"prompt", "label", "predict"} for p in preds)
     assert all(p["label"].endswith("</answer>") for p in preds)
 
+    # predict_results.json carries the ComputeSimilarity-analogue scores
+    # (reference train/sft/metric.py ROUGE/BLEU, logged by predict)
+    scores = json.load(open(os.path.join(out_dir, "predict_results.json")))
+    assert set(scores) == {"predict_rouge-1", "predict_rouge-2",
+                           "predict_rouge-l", "predict_bleu-4"}
+    assert all(0.0 <= v <= 100.0 for v in scores.values())
+
     # checkpoint written
     ckpts = os.listdir(os.path.join(out_dir, "checkpoints"))
     assert any(c.isdigit() or c == "6" for c in ckpts), ckpts

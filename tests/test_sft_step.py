@@ -108,3 +108,45 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
     mgr.close()
+
+
+def test_similarity_scores():
+    """ComputeSimilarity analogue (reference train/sft/metric.py:91-139):
+    ROUGE-1/2/L f x100 over jieba-cut tokens + char-level BLEU-4 with
+    nltk method3 smoothing (the exact reference BLEU call; its
+    rouge-chinese dep is unimportable offline, so ROUGE is first-party
+    and pinned on hand-computable cases here)."""
+    from iadr1_tpu.train.metrics_text import similarity_scores
+
+    # identical text: all ROUGE = 100, BLEU = 100
+    s = similarity_scores(["the cat sat on the mat"],
+                          ["the cat sat on the mat"])
+    assert s["rouge-1"] == 100.0 and s["rouge-2"] == 100.0
+    assert s["rouge-l"] == 100.0
+    assert abs(s["bleu-4"] - 100.0) < 1e-6
+
+    # disjoint text: all zero
+    s = similarity_scores(["aaa bbb"], ["ccc ddd"])
+    assert s["rouge-1"] == 0.0 and s["rouge-2"] == 0.0 and s["rouge-l"] == 0.0
+
+    # hand-computed ROUGE-1: hyp "a b c", ref "a b d" -> overlap 2,
+    # p = r = 2/3 -> f = 2/3
+    s = similarity_scores(["a b c"], ["a b d"])
+    assert abs(s["rouge-1"] - round(2 / 3 * 100, 4)) < 1e-6
+    # ROUGE-2: bigrams hyp {ab, bc}, ref {ab, bd} -> overlap 1, p=r=1/2
+    assert abs(s["rouge-2"] - 50.0) < 1e-6
+    # ROUGE-L: LCS "a b" len 2 -> p=r=2/3
+    assert abs(s["rouge-l"] - round(2 / 3 * 100, 4)) < 1e-6
+
+    # empty prediction scores 0 (the reference's guard branch)
+    s = similarity_scores([""], ["a b"])
+    assert s["rouge-1"] == 0.0
+
+    # BLEU matches a direct nltk call (same smoothing, same char lists)
+    from nltk.translate.bleu_score import SmoothingFunction, sentence_bleu
+    pred, label = "the cat sat", "the cat sat down"
+    want = round(sentence_bleu([list(label)], list(pred),
+                               smoothing_function=SmoothingFunction().method3
+                               ) * 100, 4)
+    s = similarity_scores([pred], [label])
+    assert abs(s["bleu-4"] - want) < 1e-9
