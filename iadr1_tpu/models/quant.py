@@ -64,6 +64,16 @@ def quantize_kernel(w: jax.Array, fmt: str = "int8",
     if fmt not in ("int4", "nf4"):
         raise ValueError(f"unknown quant format {fmt!r}")
 
+    if w.ndim > 2:
+        # stacked [L, ..., in, out] kernels quantize layer by layer:
+        # the whole-leaf path materializes ~3 f32 copies (reshape, absmax
+        # broadcast, normed) -- ~19 GB transient for a 7B stacked MLP
+        # kernel, an observed HBM OOM.  Blocks run along the contraction
+        # axis, so per-slice quantization is bit-identical.
+        return jax.lax.map(
+            lambda ws: quantize_kernel(ws, fmt=fmt, block_size=block_size), w
+        )
+
     *lead, in_dim, out_dim = w.shape
     if in_dim % 2:
         raise ValueError(

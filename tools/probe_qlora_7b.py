@@ -44,30 +44,53 @@ def build_step(quant_fmt):
     from iadr1_tpu.models.quant import default_quant_predicate, quantize_kernel
 
     bundle = make_qwen2_bundle(HF, attention="flash")
-    # leaf-wise host init + on-the-fly quantization: a full bf16 tree plus
-    # the PRNG's f32 temporaries is ~27 GB transient -- HBM-OOM before the
-    # quantize even runs.  Here each leaf materializes alone (largest is
-    # the 136 MB bf16 MLP kernel), is quantized, and the fp original is
-    # dropped before the next leaf.
+    # leaf-wise ON-DEVICE init + quantization: a full bf16 init tree plus
+    # PRNG temporaries is ~27 GB transient (HBM OOM before quantize), and
+    # host-side init ships 13.6 GB through the tunnel.  Here each leaf is
+    # generated on-device (largest transient: one 136 MB bf16 MLP
+    # kernel), quantized on-device, and the fp original deleted before
+    # the next leaf.
     shapes = jax.eval_shape(
         lambda: bundle.init_params(jax.random.PRNGKey(0), dtype=jnp.bfloat16))
-    host = np.random.default_rng(0)
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 4096))
 
     def _path_str(path):
         return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
                         for k in path)
 
+    def _gen(key, shape):
+        return jax.jit(
+            lambda k: jax.random.normal(k, shape, jnp.bfloat16) * 0.02
+        )(key)
+
+    qjit = jax.jit(quantize_kernel, static_argnames=("fmt", "block_size"))
+
     def make(path, s):
-        arr = jnp.asarray(
-            (host.standard_normal(s.shape) * 0.02).astype(np.float32),
-            jnp.bfloat16)
-        if quant_fmt != "none" and default_quant_predicate(
-                _path_str(path), arr):
-            q = jax.tree.map(lambda x: x.block_until_ready(),
-                             quantize_kernel(arr, fmt=quant_fmt))
-            del arr
-            return q
-        return arr
+        quantize = quant_fmt != "none" and default_quant_predicate(
+            _path_str(path), s)  # ShapeDtypeStruct carries .ndim
+        if not quantize:
+            return _gen(next(keys), s.shape)
+        if len(s.shape) == 3:
+            # stacked [L, in, out]: per-layer generate+quantize -- the
+            # whole-leaf quantize materializes ~3 f32 copies of the 3.8 GB
+            # MLP kernel (observed HBM OOM); per-layer transients are
+            # ~1 GB
+            fields = None
+            for _l in range(s.shape[0]):
+                arr = _gen(next(keys), s.shape[1:])
+                q = jax.tree.map(lambda x: x.block_until_ready(),
+                                 qjit(arr, fmt=quant_fmt))
+                arr.delete()
+                if fields is None:
+                    fields = {k: [] for k in q}
+                for k in q:
+                    fields[k].append(q[k])
+            return {k: jnp.stack(v) for k, v in fields.items()}
+        arr = _gen(next(keys), s.shape)
+        q = jax.tree.map(lambda x: x.block_until_ready(),
+                         qjit(arr, fmt=quant_fmt))
+        arr.delete()
+        return q
 
     params = jax.tree_util.tree_map_with_path(make, shapes)
     report = {}
@@ -126,7 +149,7 @@ def run(quant_fmt, steps=5):
             ok=bool(np.isfinite(loss) and gnorm > 0),
         )
     except Exception as e:  # noqa: BLE001 -- OOM is an expected outcome
-        report = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+        report = {"error": f"{type(e).__name__}: {str(e)[:2000]}"}
         e.__traceback__ = None
         del e
     _release_device_memory()
