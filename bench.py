@@ -115,10 +115,13 @@ def bench_sft_text(on_tpu: bool) -> dict:
             "batch": B, "seq": T}
 
 
-def bench_sft_vlm(on_tpu: bool) -> dict:
+def bench_sft_vlm(on_tpu: bool, batch_override: int | None = None) -> dict:
     """LLaVA-OneVision-0.5B-shaped packed VLM step: SigLIP tower + anyres
     feature pack + scatter into the packed token stream (BASELINE.json
-    config #1; the reference equivalent is the PA-SFT recipe)."""
+    config #1; the reference equivalent is the PA-SFT recipe).
+
+    ``batch_override`` is the sweep knob used by tools/probe_sft_perf.py
+    (the driver-run bench always uses the recipe default)."""
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -142,6 +145,8 @@ def bench_sft_vlm(on_tpu: bool) -> dict:
                    num_hidden_layers=27, num_attention_heads=16,
                    image_size=384, patch_size=14)
         B, T, steps, warmup, img_px = 4, 2048, 10, 2, (520, 390)
+        if batch_override:
+            B = batch_override
     else:
         text = dict(vocab_size=512, hidden_size=64, intermediate_size=128,
                     num_hidden_layers=2, num_attention_heads=4,
