@@ -237,13 +237,21 @@ def batch_shardings(mesh: Mesh, batch: Mapping[str, Any]) -> dict:
 
 def constrain_replicated(x):
     """Pin a small aux array to a fully-replicated sharding under the
-    ambient kernel mesh (no-op without one).
+    ambient kernel mesh (no-op without one, or when
+    IADR1_DISABLE_AUX_CONSTRAINTS is set -- the 72B-shape CPU dryrun leg
+    disables them: each constraint-induced reshard is an extra collective
+    rendezvous, and XLA CPU hard-aborts any collective whose skew exceeds
+    a hardcoded 40 s on the single-core virtual mesh).
 
     Use inside rematerialized regions on host-precomputed index plans
     (vision rotary tables, scatter plans): XLA otherwise auto-picks a
     sharding per program side of the jax.checkpoint boundary, and a
     fwd-vs-replay mismatch forces SPMD involuntary full rematerialization
     (observed on f32[1,8,64] rotary tables at the 8-device dryrun)."""
+    import os as _os
+
+    if _os.environ.get("IADR1_DISABLE_AUX_CONSTRAINTS"):
+        return x
     mesh = kernel_mesh()
     if mesh is None or x is None:
         return x
@@ -261,6 +269,10 @@ def constrain_batch_aux(x):
     constrain_replicated -- the fwd and the jax.checkpoint replay
     otherwise auto-pick different shardings for these small tensors and
     SPMD inserts an involuntary full rematerialization between them."""
+    import os as _os
+
+    if _os.environ.get("IADR1_DISABLE_AUX_CONSTRAINTS"):
+        return x
     mesh = kernel_mesh()
     shape = getattr(x, "shape", None)
     if mesh is None or not shape:
@@ -284,6 +296,10 @@ def constrain_scan_chunks(x):
     and the replay auto-pick different layouts (SPMD involuntary full
     rematerialization, observed on the MoE chunked-CE and shared-prompt
     GRPO logp legs of the 8-device dryrun)."""
+    import os as _os
+
+    if _os.environ.get("IADR1_DISABLE_AUX_CONSTRAINTS"):
+        return x
     mesh = kernel_mesh()
     shape = getattr(x, "shape", None)
     if mesh is None or not shape or len(shape) < 2:
