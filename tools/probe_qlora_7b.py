@@ -12,6 +12,7 @@ loss/grad-norm finiteness, and whether the bf16 control fits (expected:
 RESOURCE_EXHAUSTED).
 """
 
+import functools
 import json
 import sys
 import time
@@ -105,13 +106,24 @@ def build_step(quant_fmt):
         OptimizerConfig(learning_rate=1e-4, total_steps=100))
     state = create_sharded_state(lora, optimizer)
 
-    def hidden_fn(lora_p, batch):
-        return bundle.hidden_fn(params, batch, remat=True, lora=lora_p,
-                                lora_scale=tcfg.lora_scale)
+    # the frozen base is a jit ARGUMENT: closing over its device arrays
+    # bakes them into the program as constants (4.8 GB of captured
+    # constants observed -- duplicated program+runtime copies)
+    from iadr1_tpu.train.sft import chunked_sft_loss, optax_global_norm
 
-    step = make_chunked_sft_step(
-        hidden_fn, lambda _lp: bundle.head_kernel_fn(params), optimizer,
-        schedule, chunk_size=2048, logits_dtype=jnp.bfloat16)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, base, batch):
+        def loss_fn(lp):
+            h = bundle.hidden_fn(base, batch, remat=True, lora=lp,
+                                 lora_scale=tcfg.lora_scale)
+            return chunked_sft_loss(
+                h, bundle.head_kernel_fn(base), batch["labels"],
+                chunk_size=2048, logits_dtype=jnp.bfloat16)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return state.apply_gradients(grads, optimizer), metrics
 
     rng = np.random.default_rng(0)
     ids = rng.integers(1, HF["vocab_size"], (B, T))
@@ -124,7 +136,7 @@ def build_step(quant_fmt):
         "position_ids": jnp.asarray(
             np.broadcast_to(np.arange(T), (B, T)).copy(), jnp.int32),
     }
-    return state, step, batch, report
+    return state, params, step, batch, report
 
 
 def run(quant_fmt, steps=5):
@@ -134,12 +146,12 @@ def run(quant_fmt, steps=5):
     from bench import _release_device_memory
 
     try:
-        state, step, batch, report = build_step(quant_fmt)
-        state, metrics = step(state, batch)       # compile + step 1
+        state, base, step, batch, report = build_step(quant_fmt)
+        state, metrics = step(state, base, batch)  # compile + step 1
         _sync(metrics["loss"])
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, metrics = step(state, batch)
+            state, metrics = step(state, base, batch)
         loss = _sync(metrics["loss"])
         gnorm = float(np.asarray(metrics["grad_norm"]))
         report.update(
