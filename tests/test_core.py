@@ -123,3 +123,63 @@ def test_prefetch_iterator():
     assert [x for x, _ in out] == [0, 1, 2, 3]
     # everything was produced before the consumer finished item 1
     assert times[-1][2] < out[1][1]
+
+
+def test_batch_shardings_and_shard_batch():
+    """shard_batch: token arrays split their batch dim over (dp, fsdp) when
+    divisible, M-RoPE [3, B, T] positions split on axis 1, vision aux
+    arrays replicate, and non-divisible batches fall back to replication."""
+    from iadr1_tpu.core.mesh import batch_shardings, shard_batch
+
+    mesh = build_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    batch = {
+        "input_ids": jnp.zeros((4, 16), jnp.int32),
+        "position_ids": jnp.zeros((3, 4, 16), jnp.int32),
+        "rot_cos": jnp.zeros((64, 32), jnp.float32),
+        "scatter_rows": jnp.zeros((8,), jnp.int32),
+        "advantages": jnp.zeros((2,), jnp.float32),  # 2 % 4 != 0
+    }
+    shardings = batch_shardings(mesh, batch)
+    assert shardings["input_ids"].spec == P(("dp", "fsdp"))
+    assert shardings["position_ids"].spec == P(None, ("dp", "fsdp"))
+    assert shardings["rot_cos"].spec == P()
+    assert shardings["scatter_rows"].spec == P()
+    assert shardings["advantages"].spec == P()  # non-divisible fallback
+
+    out = shard_batch(mesh, batch)
+    assert out["input_ids"].sharding.spec == P(("dp", "fsdp"))
+    assert out["rot_cos"].sharding.spec == P()
+
+
+def test_constrain_helpers_respect_mesh_and_env(monkeypatch):
+    """constrain_replicated / constrain_batch_aux / constrain_scan_chunks:
+    no-ops without an armed kernel mesh or with
+    IADR1_DISABLE_AUX_CONSTRAINTS set; under jit with a mesh they pin the
+    documented specs."""
+    from iadr1_tpu.core.mesh import (
+        constrain_batch_aux,
+        constrain_replicated,
+        constrain_scan_chunks,
+        kernel_mesh_scope,
+    )
+
+    x = jnp.ones((4, 8, 16), jnp.float32)
+    with kernel_mesh_scope(None):
+        assert constrain_replicated(x) is x
+        assert constrain_batch_aux(x) is x
+        assert constrain_scan_chunks(x) is x
+
+    mesh = build_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    monkeypatch.setenv("IADR1_DISABLE_AUX_CONSTRAINTS", "1")
+    assert constrain_replicated(x) is x
+    monkeypatch.delenv("IADR1_DISABLE_AUX_CONSTRAINTS")
+
+    @jax.jit
+    def f(x):
+        return (constrain_replicated(x), constrain_batch_aux(x),
+                constrain_scan_chunks(x))
+
+    rep, ba, sc = f(x)
+    assert rep.sharding.spec == P()
+    assert ba.sharding.spec == P(("dp", "fsdp"))  # trailing Nones normalized
+    assert sc.sharding.spec == P(None, ("dp", "fsdp"))
