@@ -84,13 +84,21 @@ def _bench_name(spec: BenchmarkSpec) -> str:
 
 
 def export_run(base_model_path: str, checkpoint_dir: str, out_dir: str,
-               finetuning: dict | None = None, step: int | None = None) -> str:
+               finetuning: dict | None = None, step: int | None = None,
+               quant: str = "none", quant_block: int = 64) -> str:
     """Orbax run checkpoint -> HF-format dir the next stage can load.
 
     ``finetuning`` (the GRPO CLI's finetuning section) switches the state
     template to the LoRA adapter pytree and merges the adapters into the
     base kernels on export (reference: export_model merges PEFT adapters,
-    train/tuner.py:95-173)."""
+    train/tuner.py:95-173).
+
+    ``quant`` must match the training run's ``model.quant``: QLoRA adapters
+    were tuned against the *dequantized quantized* base, so the export
+    quantizes the loaded base the same way before merging (peft
+    merge_and_unload on a bnb base has the same semantics) -- merging into
+    the full-precision base would silently ship a model that differs from
+    the one trained and evaluated."""
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +111,15 @@ def export_run(base_model_path: str, checkpoint_dir: str, out_dir: str,
 
     bundle = bundle_from_pretrained(base_model_path, attention="xla")
     params = bundle.convert_hf(load_safetensors_path(base_model_path))
+    if quant != "none":
+        if not (finetuning
+                and finetuning.get("finetuning_type") == "lora"):
+            raise ValueError(
+                "quantized export requires a LoRA finetuning section "
+                "(a quantized base cannot have taken full updates)")
+        from iadr1_tpu.models.quant import quantize_tree
+
+        params = quantize_tree(params, fmt=quant, block_size=quant_block)
     optimizer, _ = make_optimizer(OptimizerConfig())
 
     tuning_cfg = None
@@ -136,6 +153,12 @@ def export_run(base_model_path: str, checkpoint_dir: str, out_dir: str,
         from iadr1_tpu.train.adapters import merge_lora
 
         out_params = merge_lora(params, state.params, tuning_cfg)
+        if quant != "none":
+            # leaves the LoRA did not target may still be quant dicts;
+            # the exported HF checkpoint needs dense kernels everywhere
+            from iadr1_tpu.models.quant import dequantize_tree
+
+            out_params = dequantize_tree(out_params, jnp.bfloat16)
     else:
         out_params = state.params
     save_pretrained(bundle, out_params, out_dir, source_dir=base_model_path)
@@ -189,9 +212,12 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         rc = grpo_main(["--config", cfg_path])
         if rc:
             raise RuntimeError(f"grpo stage failed (rc={rc})")
+        model_section = stage_cfg.get("model", {})
         export_run(stage_cfg["model"]["model_name_or_path"],
                    os.path.join(grpo_dir, "checkpoints"), grpo_export,
-                   finetuning=stage_cfg.get("finetuning"))
+                   finetuning=stage_cfg.get("finetuning"),
+                   quant=model_section.get("quant", "none"),
+                   quant_block=model_section.get("quant_block", 64))
         artifacts["grpo"] = grpo_dir
         artifacts["grpo_export"] = grpo_export
 
@@ -199,9 +225,19 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
         from iadr1_tpu.cli.infer import main as infer_main
         from iadr1_tpu.eval.summary import summarize_answers
 
+        # only consider exports this invocation produced (or, for a pure
+        # ``stages: [eval]`` re-run, any export on disk) -- a [sft, eval]
+        # run must not silently pick up a STALE grpo_export from an
+        # earlier invocation into the same output_dir
+        eval_only = list(cfg.stages) == ["eval"]
+        candidates = []
+        if "grpo" in cfg.stages or eval_only:
+            candidates.append(grpo_export)
+        if "sft" in cfg.stages or eval_only:
+            candidates.append(sft_export)
+        candidates.append(cfg.model_name_or_path)
         model_path = next(
-            (d for d in (grpo_export, sft_export, cfg.model_name_or_path)
-             if d and os.path.isdir(d)), None)
+            (d for d in candidates if d and os.path.isdir(d)), None)
         if model_path is None:
             raise RuntimeError("eval stage: no model export found and no "
                                "model_name_or_path configured")

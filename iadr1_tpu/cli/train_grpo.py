@@ -265,6 +265,12 @@ def main(argv=None):
             raise ValueError(
                 "model.quant requires finetuning.finetuning_type=lora "
                 "(integer base weights cannot take optimizer updates)")
+        if cfg.finetuning.pissa_init:
+            raise ValueError(
+                "model.quant is incompatible with finetuning.pissa_init: "
+                "PiSSA needs a full-precision SVD of the base kernels, "
+                "but quantize_tree has replaced them with packed quant "
+                "dicts -- disable one of the two")
         from jax.sharding import NamedSharding, PartitionSpec
 
         from iadr1_tpu.models.quant import quantize_tree

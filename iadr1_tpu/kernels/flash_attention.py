@@ -84,7 +84,14 @@ def default_blocks() -> BlockSizes:
     env = os.environ.get("IADR1_FLASH_BLOCKS")
     if env:
         vals = [int(x) for x in env.split(",")]
-        # 6 values: the stacked fwd follows block_k (sweep semantics)
+        # 6 values: the stacked fwd follows block_k (sweep semantics);
+        # a 7th sets block_k_stacked explicitly (dq_per_qhead is no
+        # longer env-settable -- it measured -0.5pt and was dropped)
+        if len(vals) not in (6, 7):
+            raise ValueError(
+                "IADR1_FLASH_BLOCKS expects 6 or 7 comma-separated ints "
+                "(bq,bk,bq_dkv,bk_dkv,bq_dq,bk_dq[,bk_stacked]), got "
+                f"{len(vals)}: {env!r}")
         return BlockSizes(*vals[:6], block_k_stacked=(
             vals[6] if len(vals) > 6 else vals[1]))
     return BlockSizes(block_k_stacked=1024)

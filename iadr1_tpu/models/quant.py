@@ -184,6 +184,20 @@ def quantize_tree(
     return jax.tree_util.tree_map_with_path(per_leaf, params)
 
 
+def dequantize_tree(tree: Any, dtype=jnp.bfloat16) -> Any:
+    """Replace every quant dict in ``tree`` with a dense kernel carrying
+    the quantization rounding error — the base QLoRA adapters actually
+    trained against (export path; reference: peft merge_and_unload keeps
+    the bnb base's error in the merged model)."""
+    if is_quantized(tree):
+        return dequantize_kernel(tree, dtype)
+    if isinstance(tree, dict):
+        return {k: dequantize_tree(v, dtype) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(dequantize_tree(v, dtype) for v in tree)
+    return tree
+
+
 def quantized_bytes(tree: Any) -> tuple[int, int]:
     """(bytes now, bytes if everything were bf16) -- for reporting."""
     now = sum(

@@ -553,6 +553,27 @@ class GRPOTrainer:
         rewards = rewards_per_func.sum(axis=1)
         advantages = self.compute_advantages(rewards)
 
+        # truncation rate: completions that hit max_completion_length
+        # without emitting EOS.  The silent recipe-killer: a too-short
+        # budget truncates every answer mid-sentence, every structured
+        # reward scores 0, and training "runs" while learning nothing
+        # (the reference has the same blind spot)
+        eos_id = self.tokenizer.eos_token_id
+        full_rows = completion_mask.sum(axis=1) == completion_ids.shape[1]
+        truncated = full_rows & (completion_ids[:, -1] != eos_id)
+        trunc_frac = float(truncated.mean())
+        if trunc_frac > 0.5 and not np.any(rewards):
+            import warnings
+
+            warnings.warn(
+                f"{trunc_frac:.0%} of completions hit "
+                f"max_completion_length={self.cfg.max_completion_length} "
+                "without EOS and every reward is zero -- answers are "
+                "likely truncated before they can be scored; raise "
+                "GRPOConfig.max_completion_length",
+                stacklevel=2,
+            )
+
         # assemble update batch (static shapes)
         prompt_ids = np.asarray(rollout["prompt_ids"])
         prompt_mask = np.asarray(rollout["prompt_mask"])
@@ -589,6 +610,7 @@ class GRPOTrainer:
                     update_batch[key] = batch[key]
             self.state, metrics = self._run_updates(update_batch)
             out = {k: float(v) for k, v in metrics.items()}
+            out["completion_truncated_frac"] = trunc_frac
             out["ref_synced"] = float(self.maybe_sync_ref())
             out["reward"] = float(rewards.mean())
             out["reward_std"] = float(
@@ -625,6 +647,7 @@ class GRPOTrainer:
         self.state, metrics = self._run_updates(update_batch)
 
         out = {k: float(v) for k, v in metrics.items()}
+        out["completion_truncated_frac"] = trunc_frac
         out["ref_synced"] = float(self.maybe_sync_ref())
         out["reward"] = float(rewards.mean())
         out["reward_std"] = float(

@@ -251,6 +251,35 @@ def _reward_contains_token(target_text):
     return fn
 
 
+def test_truncation_metric_and_warning():
+    """A too-short max_completion_length truncates every completion and
+    zeroes every structured reward; the trainer must surface that (metric
+    + host warning) instead of training silently on nothing (the round-4
+    pipeline e2e lost hours to exactly this)."""
+    tok = tiny_qwen_tokenizer()
+    hf_cfg = {**TINY, "vocab_size": max(tok.vocab_size, 600)}
+    bundle = make_qwen2_bundle(hf_cfg, attention="xla")
+    params = bundle.init_params(jax.random.PRNGKey(0))
+    optimizer, _ = make_optimizer(
+        OptimizerConfig(learning_rate=1e-3, total_steps=10, warmup_ratio=0.0))
+    state = create_train_state(params, optimizer)
+    cfg = GRPOConfig(num_generations=2, max_prompt_length=8,
+                     max_completion_length=4, logp_chunk_size=8)
+
+    def zero_reward(completions, **kwargs):
+        return [0.0] * len(completions)
+    zero_reward.__name__ = "zero_reward"
+
+    trainer = GRPOTrainer(bundle, tok, optimizer, cfg, [zero_reward], state,
+                          jax.tree.map(jnp.copy, params))
+    with pytest.warns(UserWarning, match="truncated"):
+        m = trainer.step([{"prompt_ids": [5, 6, 7], "solution": "s"},
+                          {"prompt_ids": [8, 9], "solution": "s"}])
+    # a 4-token budget on an untrained policy: essentially every row runs
+    # out before sampling EOS
+    assert m["completion_truncated_frac"] > 0.5
+
+
 def test_grpo_trainer_learns_reward():
     tok = tiny_qwen_tokenizer()
     hf_cfg = {**TINY, "vocab_size": max(tok.vocab_size, 600)}
