@@ -121,7 +121,7 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
         B = len(rows)
         input_ids = np.full((B, P), pad, np.int64)
         mask = np.zeros((B, P), np.int64)
-        patches_list, grids = [], []
+        patches_list, grids, videos_list = [], [], []
         img_id = getattr(bundle.cfg, "image_token_id", None)
         for i, ex in enumerate(rows):
             ids = ex["prompt_ids"][-P:]
@@ -139,6 +139,7 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
             mask[i, P - len(ids):] = 1
             patches_list.extend(ex.get("patches", []))
             grids.extend(ex.get("grid_thw", []))
+            videos_list.extend(ex.get("video_patches", []))
         batch = {
             "input_ids": jnp.asarray(input_ids, jnp.int32),
             "attention_mask": jnp.asarray(mask, jnp.int32),
@@ -154,7 +155,8 @@ def make_vlm_prompt_collator(bundle, tokenizer, template, cfg: GRPODataSection,
             batch["position_ids"] = jnp.asarray(pos, jnp.int32)
             batch["mrope_deltas"] = jnp.asarray(deltas, jnp.int32)
         arrays = bundle.vision_arrays(
-            input_ids, patches_list, grids, budget
+            input_ids, patches_list, grids, budget,
+            **({"videos": videos_list} if videos_list else {})
         )
         batch.update({k: jnp.asarray(v) for k, v in arrays.items()})
         return batch
@@ -273,10 +275,25 @@ def main(argv=None):
                 "dicts -- disable one of the two")
         from jax.sharding import NamedSharding, PartitionSpec
 
-        from iadr1_tpu.models.quant import quantize_tree
+        if cfg.model.quant in ("gptq", "awq"):
+            # pre-quantized hub checkpoint: the packed tensors were
+            # rewritten into quant dicts at load time
+            # (params_io.convert_prequantized_state) -- nothing to
+            # quantize here, just verify the checkpoint really was one
+            from iadr1_tpu.models.quant import is_quantized
 
-        params = quantize_tree(params, fmt=cfg.model.quant,
-                               block_size=cfg.model.quant_block)
+            if not any(is_quantized(l) for l in jax.tree.leaves(
+                    params, is_leaf=is_quantized)):
+                raise ValueError(
+                    f"model.quant={cfg.model.quant!r} but the checkpoint "
+                    "has no packed qweight tensors -- point "
+                    "model_name_or_path at a GPTQ/AWQ export or use "
+                    "int4/nf4/int8 to quantize a bf16 checkpoint")
+        else:
+            from iadr1_tpu.models.quant import quantize_tree
+
+            params = quantize_tree(params, fmt=cfg.model.quant,
+                                   block_size=cfg.model.quant_block)
         # the quantized base replicates (its whole point is that the
         # replica is small); adapters/optimizer still shard below
         rep = NamedSharding(mesh, PartitionSpec())

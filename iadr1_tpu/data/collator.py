@@ -55,7 +55,7 @@ class VLMBatchBuilder:
         labels = np.stack([r["labels"] for r in rows])
         segment_ids = np.stack([r["segment_ids"] for r in rows])
 
-        patches_list, grids = [], []
+        patches_list, grids, videos_list = [], [], []
         for r in rows:
             for extra in r.get("extras", []):
                 if "patches" in extra:
@@ -73,6 +73,16 @@ class VLMBatchBuilder:
                         )
                         patches_list.append(flat)
                         grids.append(grid)
+                if "video_patches" in extra:
+                    videos_list.extend(extra["video_patches"])
+                elif extra.get("videos"):
+                    if self.bundle.preprocess_video is None:
+                        raise ValueError(
+                            f"family {self.bundle.family} has no video "
+                            "preprocessing path")
+                    for frames in extra["videos"]:
+                        vp_, _meta, _n = self.bundle.preprocess_video(frames)
+                        videos_list.append(vp_)
 
         # positions per packed segment: M-RoPE grids for qwen-vl families,
         # the rows' plain restarting positions otherwise.  Grid tuples are
@@ -111,9 +121,10 @@ class VLMBatchBuilder:
             "segment_ids": segment_ids.astype(np.int32),
             "position_ids": position_ids.astype(np.int32),
         }
+        va_kw = {"videos": videos_list} if videos_list else {}
         batch.update(
             self.bundle.vision_arrays(
-                input_ids, patches_list, grids, self.patch_budget
+                input_ids, patches_list, grids, self.patch_budget, **va_kw
             )
         )
         return batch

@@ -119,16 +119,23 @@ def project_and_pack(
 def compute_embeds(params, cfg, input_ids, *, tiles=None, pack_src=None,
                    pack_weights=None, newline_mask=None, scatter_rows=None,
                    scatter_cols=None, precision=DEFAULT_PRECISION,
-                   remat=False):
+                   remat=False, tower_attention_fn=None, tower_remat=None):
     """Token embeddings with anyres image features scattered in (shared by
-    apply and the shared-prompt GRPO scoring path)."""
+    apply and the shared-prompt GRPO scoring path).
+
+    ``tower_remat``: None follows ``remat``; False/"full"/policy strings
+    override the SigLIP tower independently of the decoder (the tower's
+    activations are a different memory/recompute trade than the text
+    stack -- tools/probe_vlm_perf.py sweeps this)."""
     embeds = common.embed_lookup(
         params["text"]["embed"]["weight"], input_ids
     ).astype(precision.compute_dtype)
     if tiles is not None:
         feats = siglip.apply(
             params["vision"], cfg.vision, tiles, precision=precision,
-            remat=remat, post_layernorm=False,
+            remat=remat if tower_remat is None else tower_remat,
+            post_layernorm=False,
+            attention_fn=tower_attention_fn,
         )
         packed = project_and_pack(
             params, cfg, feats, pack_src, pack_weights, newline_mask
@@ -158,12 +165,15 @@ def apply(
     lora: dict | None = None,
     lora_scale: float = 1.0,
     remat: bool = False,
+    tower_attention_fn: Callable | None = None,
+    tower_remat=None,
 ) -> tuple[jax.Array, dict | None]:
     embeds = compute_embeds(
         params, cfg, input_ids, tiles=tiles, pack_src=pack_src,
         pack_weights=pack_weights, newline_mask=newline_mask,
         scatter_rows=scatter_rows, scatter_cols=scatter_cols,
         precision=precision, remat=remat,
+        tower_attention_fn=tower_attention_fn, tower_remat=tower_remat,
     )
     return qwen2.apply(
         params["text"], cfg.text, inputs_embeds=embeds,

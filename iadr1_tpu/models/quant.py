@@ -118,10 +118,23 @@ def dequantize_kernel(qk: dict, dtype=jnp.float32) -> jax.Array:
     """Quant dict -> dense [..., in, out] kernel (any supported layout).
 
     This is the in-graph producer ``dense()`` calls: a handful of
-    elementwise ops XLA fuses into the consuming matmul's operand read."""
+    elementwise ops XLA fuses into the consuming matmul's operand read.
+
+    Layouts: first-party symmetric int8 ({qvalues, scales}), symmetric
+    int4 ({q4, scales}), NF4 ({nf4, scales}), and the asymmetric uint4
+    layout imported from GPTQ/AWQ hub checkpoints ({q4, zeros, scales}:
+    w = (q - z) * s blockwise along in -- params_io.convert GPTQ/AWQ)."""
     scales = qk["scales"].astype(jnp.float32)
     if "qvalues" in qk:
         return (qk["qvalues"].astype(jnp.float32) * scales).astype(dtype)
+    if "q4" in qk and "zeros" in qk:
+        q = _unpack_nibbles(qk["q4"]).astype(jnp.float32)
+        *lead, in_dim, out_dim = q.shape
+        nb = scales.shape[-2]
+        q = q.reshape(*lead, nb, in_dim // nb, out_dim)
+        zeros = qk["zeros"].astype(jnp.float32)
+        w = (q - zeros[..., :, None, :]) * scales[..., :, None, :]
+        return w.reshape(*lead, in_dim, out_dim).astype(dtype)
     if "q4" in qk:
         vals = (_unpack_nibbles(qk["q4"]) - 7).astype(jnp.float32) / 7.0
     elif "nf4" in qk:

@@ -46,6 +46,9 @@ class ModelBundle:
     # family-specific preprocessing; ``seqlen`` is the number of image tokens
     # the placeholder expands to.
     preprocess_image: Callable | None = None
+    # (pil_frames,) -> (frame_patches [F, g*g, patch_dim], meta, seqlen):
+    # video-capable families only (llava_next_video, video_llava)
+    preprocess_video: Callable | None = None
     template: str = "chatml"
     # shared-prompt GRPO scoring (models/shared_prompt.py): (params, batch,
     # group_size, remat=..., lora=..., lora_scale=...) -> pred hidden
@@ -133,6 +136,12 @@ def _vlm_shared_pred(module, cfg, precision, attention: str):
                     lora_scale=1.0):
         from iadr1_tpu.models.shared_prompt import shared_prompt_pred_hidden
 
+        video_kw = {
+            k: batch[k]
+            for k in ("video_tiles", "video_scatter_rows",
+                      "video_scatter_cols")
+            if k in batch
+        }
         embeds = module.compute_embeds(
             params, cfg, batch["prompt_ids"],
             tiles=batch.get("tiles"), pack_src=batch.get("pack_src"),
@@ -140,7 +149,7 @@ def _vlm_shared_pred(module, cfg, precision, attention: str):
             newline_mask=batch.get("newline_mask"),
             scatter_rows=batch.get("scatter_rows"),
             scatter_cols=batch.get("scatter_cols"),
-            precision=precision, remat=bool(remat),
+            precision=precision, remat=bool(remat), **video_kw,
         )
         return shared_prompt_pred_hidden(
             params["text"], cfg.text, batch, group_size,
@@ -623,8 +632,18 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
     decode_attn = default_decode_attention(attention)
     g = vcfg.grid
 
+    # flash in the SigLIP tower too: the [729,729] probs tensor never
+    # materializes and the named (out,lse) residuals let the tower's remat
+    # policy skip the attention recompute in backward.  Overridable per
+    # call (tower_attention_fn/tower_remat) -- tools/probe_vlm_perf.py
+    # sweeps the tower recipe; docs/validation_r5.md records the winner.
+    from iadr1_tpu.models.attention import flash_attn
+
+    tower_attn = flash_attn if attn is flash_attn else None
+
     def apply(params, batch, cache=None, remat=False, cache_mode="extend",
-              lora=None, lora_scale=1.0):
+              lora=None, lora_scale=1.0, tower_attention_fn="default",
+              tower_remat=None):
         return llava_onevision.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
@@ -637,6 +656,10 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
             lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn, remat=remat,
+            tower_attention_fn=(tower_attn
+                                if tower_attention_fn == "default"
+                                else tower_attention_fn),
+            tower_remat=tower_remat,
         )
 
     def forward(params, batch, remat=True):
@@ -722,10 +745,19 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
     from iadr1_tpu.models import clip_vit, llava
     from iadr1_tpu.vision import anyres
 
-    anyres_mode = (
-        "LlavaNextForConditionalGeneration" in (hf_config.get("architectures") or [])
-        or hf_config.get("model_type") == "llava_next"
+    archs = hf_config.get("architectures") or []
+    mt = hf_config.get("model_type")
+    lnv_mode = ("LlavaNextVideoForConditionalGeneration" in archs
+                or mt == "llava_next_video")
+    videollava_mode = ("VideoLlavaForConditionalGeneration" in archs
+                       or mt == "video_llava")
+    anyres_mode = lnv_mode or (
+        "LlavaNextForConditionalGeneration" in archs or mt == "llava_next"
     )
+    if lnv_mode and hf_config.get("spatial_pool_mode", "average") != "average":
+        raise ValueError(
+            "only spatial_pool_mode='average' is supported (every released "
+            "LLaVA-NeXT-Video checkpoint uses it)")
     text_hf = hf_config["text_config"]
     vis_hf = hf_config["vision_config"]
     tcfg = dataclasses.replace(_qwen2_text_cfg(text_hf), attention_bias=False)
@@ -749,6 +781,13 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
         image_grid_pinpoints=tuple(
             tuple(p) for p in hf_config.get("image_grid_pinpoints", [])
         ) or ((336, 672), (672, 336), (672, 672), (1008, 336), (336, 1008)),
+        video_token_id=hf_config.get(
+            "video_token_index", hf_config.get("video_token_id"))
+        if (lnv_mode or videollava_mode) else None,
+        video_pool_stride=(hf_config.get("spatial_pool_stride", 2)
+                           if lnv_mode else 0),
+        video_keep_cls=videollava_mode,
+        separate_video_tower=videollava_mode,
     )
     attn = default_attention(attention)
     decode_attn = default_decode_attention(attention)
@@ -764,6 +803,9 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
             newline_mask=batch.get("newline_mask"),
             scatter_rows=batch.get("scatter_rows"),
             scatter_cols=batch.get("scatter_cols"),
+            video_tiles=batch.get("video_tiles"),
+            video_scatter_rows=batch.get("video_scatter_rows"),
+            video_scatter_cols=batch.get("video_scatter_cols"),
             segment_ids=batch.get("segment_ids"), cache=cache,
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
             lora=lora, lora_scale=lora_scale,
@@ -788,13 +830,48 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
         patches = anyres.patchify_tiles(tile[None], vcfg.patch_size)
         return patches, (1, 1, pil.height, pil.width), g * g
 
-    def vision_arrays(input_ids, patches_list, grids, patch_budget):
+    def _video_arrays(input_ids, videos, patch_budget):
+        """Pack per-video frame stacks [F, g*g, patch_dim] into one static
+        frame stream + scatter indices over the video-token positions."""
+        B = input_ids.shape[0]
+        frame_budget = max(patch_budget // (g * g), 1)
+        if cfg.video_pool_stride > 1:
+            toks_per_frame = (g // cfg.video_pool_stride) ** 2
+        elif cfg.video_keep_cls:
+            toks_per_frame = g * g + 1
+        else:
+            toks_per_frame = g * g
+        patch_dim = vcfg.patch_dim
+        vtiles = np.zeros((frame_budget, g * g, patch_dim), np.float32)
+        n_feats = frame_budget * toks_per_frame
+        vrows = np.full(n_feats, B, np.int32)
+        vcols = np.zeros(n_feats, np.int32)
+        rows_idx, cols_idx = np.nonzero(input_ids == cfg.video_token_id)
+        frame_off = tok_off = 0
+        for frames in videos or ():
+            F = frames.shape[0]
+            if frame_off + F > frame_budget:
+                raise ValueError("video frame stream exceeds patch budget")
+            vtiles[frame_off : frame_off + F] = frames
+            n = F * toks_per_frame
+            lo = frame_off * toks_per_frame
+            vrows[lo : lo + n] = rows_idx[tok_off : tok_off + n]
+            vcols[lo : lo + n] = cols_idx[tok_off : tok_off + n]
+            frame_off += F
+            tok_off += n
+        return {"video_tiles": vtiles, "video_scatter_rows": vrows,
+                "video_scatter_cols": vcols}
+
+    def vision_arrays(input_ids, patches_list, grids, patch_budget,
+                      videos=None):
         B = input_ids.shape[0]
         tile_budget = patch_budget // (g * g)
         feat_budget = tile_budget * (g * g + g)
         patch_dim = vcfg.patch_dim
         tiles = np.zeros((tile_budget, g * g, patch_dim), np.float32)
         rows_idx, cols_idx = np.nonzero(input_ids == cfg.image_token_id)
+        vid = (_video_arrays(input_ids, videos, patch_budget)
+               if cfg.video_token_id is not None else {})
 
         if anyres_mode:
             src = np.zeros((feat_budget, 4), np.int64)
@@ -824,7 +901,7 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
             return {
                 "tiles": tiles, "pack_src": src, "pack_weights": wts,
                 "newline_mask": newline,
-                "scatter_rows": srows, "scatter_cols": scols,
+                "scatter_rows": srows, "scatter_cols": scols, **vid,
             }
 
         # llava-1.5: one tile per image, features map 1:1
@@ -839,10 +916,33 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
             scols[tile_off * F : tile_off * F + F] = cols_idx[tok_off : tok_off + F]
             tile_off += 1
             tok_off += F
-        return {"tiles": tiles, "scatter_rows": srows, "scatter_cols": scols}
+        return {"tiles": tiles, "scatter_rows": srows,
+                "scatter_cols": scols, **vid}
 
+    def preprocess_video(frames):
+        arr = np.stack([
+            anyres.clip_resize_center_crop(f, vcfg.image_size)
+            for f in frames
+        ])
+        patches = anyres.patchify_tiles(arr, vcfg.patch_size)
+        if cfg.video_pool_stride > 1:
+            toks = (g // cfg.video_pool_stride) ** 2 * len(frames)
+        elif cfg.video_keep_cls:
+            toks = (g * g + 1) * len(frames)
+        else:
+            toks = g * g * len(frames)
+        return patches, ("video", len(frames)), toks
+
+    if lnv_mode:
+        family, template = "llava_next_video", "llava_next_video"
+    elif videollava_mode:
+        family, template = "video_llava", "video_llava"
+    elif anyres_mode:
+        family, template = "llava_next", "llava_next"
+    else:
+        family, template = "llava", "llava"
     return ModelBundle(
-        family="llava_next" if anyres_mode else "llava", cfg=cfg,
+        family=family, cfg=cfg,
         shared_pred_fn=_vlm_shared_pred(llava, cfg, precision, attention),
         multimodal=True,
         init_params=lambda key, dtype=jnp.float32: llava.init_params(key, cfg, dtype),
@@ -853,7 +953,9 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
         logits_fn=lambda params, h: llava.logits(params, cfg, h, precision),
         vision_arrays=vision_arrays,
         preprocess_image=preprocess_image,
-        template="llava_next" if anyres_mode else "llava",
+        preprocess_video=(preprocess_video
+                          if cfg.video_token_id is not None else None),
+        template=template,
     )
 
 
@@ -968,8 +1070,12 @@ FAMILY_BUILDERS = {
     "LlavaOnevisionForConditionalGeneration": make_llava_onevision_bundle,
     "LlavaForConditionalGeneration": make_llava_bundle,
     "LlavaNextForConditionalGeneration": make_llava_bundle,
+    "LlavaNextVideoForConditionalGeneration": make_llava_bundle,
+    "VideoLlavaForConditionalGeneration": make_llava_bundle,
     "llava": make_llava_bundle,
     "llava_next": make_llava_bundle,
+    "llava_next_video": make_llava_bundle,
+    "video_llava": make_llava_bundle,
     "InternVLForConditionalGeneration": make_internvl_bundle,
     "internvl": make_internvl_bundle,
     "qwen2": make_qwen2_bundle,

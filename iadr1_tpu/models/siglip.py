@@ -169,6 +169,7 @@ def apply(
     precision: Precision = DEFAULT_PRECISION,
     remat: bool = False,
     post_layernorm: bool = True,
+    attention_fn=None,                  # (q,k,v, causal=False) time-major
 ) -> jax.Array:
     """Tile batch -> features [N, num_patches, hidden]."""
     N, T, _ = tiles.shape
@@ -184,7 +185,10 @@ def apply(
         q = dense(x, a["q"]["kernel"], a["q"]["bias"]).reshape(N, T, H, D)
         k = dense(x, a["k"]["kernel"], a["k"]["bias"]).reshape(N, T, H, D)
         v = dense(x, a["v"]["kernel"], a["v"]["bias"]).reshape(N, T, H, D)
-        attn = common.xla_attention(q, k, v, None)
+        if attention_fn is not None:
+            attn = attention_fn(q, k, v, causal=False)
+        else:
+            attn = common.xla_attention(q, k, v, None)
         h = h + dense(attn.reshape(N, T, H * D), a["o"]["kernel"], a["o"]["bias"])
         x = layer_norm(h, layer["norm2"]["scale"], layer["norm2"]["bias"], eps)
         x = dense(x, layer["mlp"]["fc1"]["kernel"], layer["mlp"]["fc1"]["bias"])
@@ -192,7 +196,17 @@ def apply(
         h = h + dense(x, layer["mlp"]["fc2"]["kernel"], layer["mlp"]["fc2"]["bias"])
         return h, None
 
-    body = jax.checkpoint(block) if remat else block
+    # Remat: with the flash kernel, (out, lse) are checkpoint_named inside
+    # its VJP fwd rule, so a save-these-names policy skips the attention
+    # recompute in the replayed backward (and the [T,T] probs tensor never
+    # exists at all).  The XLA path has nothing named -> plain full remat.
+    # remat="full" forces the plain mode for either path.
+    if remat and attention_fn is not None and remat != "full":
+        from iadr1_tpu.models.attention import FLASH_REMAT_POLICY
+
+        body = jax.checkpoint(block, policy=FLASH_REMAT_POLICY)
+    else:
+        body = jax.checkpoint(block) if remat else block
     h, _ = jax.lax.scan(body, h, params["layers"])
     if post_layernorm:
         h = layer_norm(h, params["post_norm"]["scale"], params["post_norm"]["bias"], eps)

@@ -235,3 +235,170 @@ def test_quantized_generation_runs():
     ids = np.asarray(out["completion_ids"])
     assert ids.shape == (1, 4)
     assert (ids >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# GPTQ / AWQ pre-quantized checkpoint import (params_io)
+# ---------------------------------------------------------------------------
+
+
+def _pack_gptq(q, zeros, scales):
+    """Reference GPTQ packing: q uint4 [in, out] -> qweight int32
+    [in/8, out] (low nibble first); zeros z (the dequant zero point)
+    stored as qzeros = z-1, packed int32 [nb, out/8]."""
+    in_dim, out = q.shape
+    qweight = np.zeros((in_dim // 8, out), np.int64)
+    for j in range(8):
+        qweight |= q[j::8].astype(np.int64) << (4 * j)
+    zm1 = (zeros - 1).astype(np.int64)
+    qzeros = np.zeros((zeros.shape[0], out // 8), np.int64)
+    for j in range(8):
+        qzeros |= zm1[:, j::8] << (4 * j)
+    return (qweight.astype(np.int32), qzeros.astype(np.int32),
+            scales.astype(np.float16))
+
+
+def _pack_awq(q, zeros, scales):
+    """Reference AWQ GEMM packing: columns interleaved [0,2,4,6,1,3,5,7]."""
+    order = [0, 2, 4, 6, 1, 3, 5, 7]
+    in_dim, out = q.shape
+    qweight = np.zeros((in_dim, out // 8), np.int64)
+    qzeros = np.zeros((zeros.shape[0], out // 8), np.int64)
+    for j, col in enumerate(order):
+        qweight |= q[:, col::8].astype(np.int64) << (4 * j)
+        qzeros |= zeros[:, col::8].astype(np.int64) << (4 * j)
+    return (qweight.astype(np.int32), qzeros.astype(np.int32),
+            scales.astype(np.float16))
+
+
+def _random_asym(in_dim, out, group, seed):
+    rng = np.random.default_rng(seed)
+    q = rng.integers(0, 16, (in_dim, out), np.uint8)
+    nb = in_dim // group
+    zeros = rng.integers(1, 15, (nb, out), np.uint8)  # z-1 must fit uint4
+    scales = (rng.random((nb, out), np.float32) * 0.05 + 0.01)
+    expected = ((q.reshape(nb, group, out).astype(np.float32)
+                 - zeros[:, None].astype(np.float32))
+                * scales[:, None]).reshape(in_dim, out)
+    return q, zeros, scales, expected
+
+
+def test_gptq_import_exact():
+    from iadr1_tpu.models.params_io import convert_prequantized_state
+
+    q, zeros, scales, expected = _random_asym(32, 16, 8, seed=0)
+    qweight, qzeros, qscales = _pack_gptq(q, zeros, scales)
+    state = {
+        "model.layers.0.self_attn.q_proj.qweight": qweight,
+        "model.layers.0.self_attn.q_proj.qzeros": qzeros,
+        "model.layers.0.self_attn.q_proj.scales": qscales,
+        "model.layers.0.self_attn.q_proj.g_idx":
+            (np.arange(32) // 8).astype(np.int32),
+    }
+    out = convert_prequantized_state(state)
+    qd = out["model.layers.0.self_attn.q_proj.weight"]
+    assert is_quantized(qd)
+    got = np.asarray(dequantize_kernel(
+        {k: jnp.asarray(v) for k, v in qd.items()}))
+    np.testing.assert_allclose(got, expected.astype(np.float16), atol=1e-3)
+    assert not any(k.endswith(".qweight") for k in out)
+
+
+def test_gptq_desc_act_rejected():
+    import pytest
+
+    from iadr1_tpu.models.params_io import gptq_layer_to_quant
+
+    q, zeros, scales, _ = _random_asym(32, 16, 8, seed=1)
+    qweight, qzeros, qscales = _pack_gptq(q, zeros, scales)
+    perm = np.random.default_rng(0).permutation(32) // 8
+    with pytest.raises(NotImplementedError):
+        gptq_layer_to_quant(qweight, qzeros, qscales,
+                            g_idx=perm.astype(np.int32))
+
+
+def test_awq_import_exact():
+    from iadr1_tpu.models.params_io import awq_layer_to_quant
+
+    q, zeros, scales, expected = _random_asym(32, 16, 8, seed=2)
+    qweight, qzeros, qscales = _pack_awq(q, zeros, scales)
+    qd = awq_layer_to_quant(qweight, qzeros, qscales)
+    got = np.asarray(dequantize_kernel(
+        {k: jnp.asarray(v) for k, v in qd.items()}))
+    np.testing.assert_allclose(got, expected.astype(np.float16), atol=1e-3)
+
+
+def test_gptq_checkpoint_trains_lora(tmp_path):
+    """A synthetic GPTQ qwen2 checkpoint loads through the normal path
+    (load_safetensors_path -> convert_hf) and trains a LoRA step -- the
+    reference's pre-quantized-hub flow (model_utils/quantization.py)."""
+    from safetensors.numpy import save_file
+
+    from iadr1_tpu.data.tokenize import IGNORE_INDEX
+    from iadr1_tpu.models.params_io import load_safetensors_path
+    from iadr1_tpu.train import OptimizerConfig, make_optimizer
+    from iadr1_tpu.train.adapters import TuningConfig, init_lora_params
+    from iadr1_tpu.train.sft import make_chunked_sft_step
+    from iadr1_tpu.train.state import create_train_state
+
+    hid, inter, vocab, L, group = 64, 96, 256, 2, 32
+    rng = np.random.default_rng(3)
+    state = {}
+    def add_linear(name, in_dim, out):
+        q, zeros, scales, _ = _random_asym(in_dim, out, group,
+                                           seed=abs(hash(name)) % 2**31)
+        qw, qz, sc = _pack_gptq(q, zeros, scales)
+        state[f"{name}.qweight"] = qw
+        state[f"{name}.qzeros"] = qz
+        state[f"{name}.scales"] = sc
+        state[f"{name}.g_idx"] = (np.arange(in_dim) // group).astype(np.int32)
+    for i in range(L):
+        p = f"model.layers.{i}"
+        for proj, (i_d, o_d) in {
+            "self_attn.q_proj": (hid, hid), "self_attn.k_proj": (hid, 32),
+            "self_attn.v_proj": (hid, 32), "self_attn.o_proj": (hid, hid),
+            "mlp.gate_proj": (hid, inter), "mlp.up_proj": (hid, inter),
+            "mlp.down_proj": (inter, hid),
+        }.items():
+            add_linear(f"{p}.{proj}", i_d, o_d)
+        state[f"{p}.input_layernorm.weight"] = np.ones(hid, np.float32)
+        state[f"{p}.post_attention_layernorm.weight"] = np.ones(hid, np.float32)
+    state["model.embed_tokens.weight"] = (
+        rng.standard_normal((vocab, hid)).astype(np.float32) * 0.02)
+    state["model.norm.weight"] = np.ones(hid, np.float32)
+    save_file(state, str(tmp_path / "model.safetensors"))
+
+    loaded = load_safetensors_path(str(tmp_path))
+    hf = dict(architectures=["Qwen2ForCausalLM"], vocab_size=vocab,
+              hidden_size=hid, intermediate_size=inter, num_hidden_layers=L,
+              num_attention_heads=4, num_key_value_heads=2, rope_theta=1e4,
+              tie_word_embeddings=True, attention_bias=False)
+    bundle = make_qwen2_bundle(hf, attention="xla")
+    params = bundle.convert_hf(loaded)
+    assert is_quantized(params["layers"]["mlp"]["gate"]["kernel"])
+
+    tcfg = TuningConfig(finetuning_type="lora", lora_rank=4)
+    lora = init_lora_params(jax.random.PRNGKey(0), params, tcfg)
+    optimizer, schedule = make_optimizer(
+        OptimizerConfig(learning_rate=1e-2, total_steps=4, warmup_ratio=0.0))
+    stt = create_train_state(lora, optimizer)
+
+    def hidden_fn(lp, b):
+        return bundle.hidden_fn(params, b, remat=False, lora=lp,
+                                lora_scale=tcfg.lora_scale)
+
+    step = make_chunked_sft_step(
+        hidden_fn, lambda _lp: bundle.head_kernel_fn(params), optimizer,
+        schedule, chunk_size=16)
+    ids = np.random.default_rng(4).integers(1, vocab, (2, 32))
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "labels": jnp.asarray(
+            np.where(np.arange(32) < 8, IGNORE_INDEX, ids), jnp.int32),
+        "segment_ids": jnp.ones((2, 32), jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(32), (2, 32)).copy(), jnp.int32),
+    }
+    stt, metrics = step(stt, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 1e-8

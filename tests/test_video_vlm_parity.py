@@ -1,0 +1,210 @@
+"""LLaVA-NeXT-Video and Video-LLaVA end-to-end parity vs HF.
+
+Round-4 VERDICT missing #3: the mm plugins for the video families existed
+(data/mm_plugins.py, HF-processor parity) but no in-repo model consumed
+their outputs.  models/llava.py now runs both: video frames through the
+(shared | separate) CLIP tower, spatial AvgPool stride 2 before the
+projector for LLaVA-NeXT-Video (HF LlavaNextVideoPooler), CLS kept per
+frame for Video-LLaVA (modeling_video_llava.py get_video_features).  These
+tests pin forward logits AND greedy generate against the HF models on tiny
+random checkpoints, video pixel inputs bit-identical on both sides.
+Reference: llamafactory/data/mm_plugin.py:382-448,912-978,
+llamafactory/model/loader.py:186-189 (AutoModelForVision2Seq routing).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iadr1_tpu.core.precision import FULL_PRECISION
+from iadr1_tpu.models.params_io import hf_state_from_torch
+from iadr1_tpu.models.registry import make_llava_bundle
+
+from test_vlm_generate_parity import (
+    EOS,
+    PAD,
+    TEXT,
+    _compare,
+    _generate_ours,
+    _hf_left_padded,
+    _image,
+)
+
+TILE = 56
+CLIP_VISION = dict(
+    hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+    num_attention_heads=4, image_size=TILE, patch_size=14,
+    hidden_act="quick_gelu", layer_norm_eps=1e-5,
+)
+PINPOINTS = [[56, 112], [112, 56], [112, 112]]
+IMG_ID, VID_ID = 7, 8
+G = TILE // 14  # 4 patches per side
+
+
+def _frames(n, seed=0):
+    return [_image(80, 64, seed=seed + i) for i in range(n)]
+
+
+def _video_pixels(bundle, frames):
+    """HF pixel_values_videos from the SAME resize/normalize arrays the
+    bundle patchifies -- the parity under test is the model, the
+    processor parity lives in tests/test_mm_plugins.py."""
+    from iadr1_tpu.vision.anyres import clip_resize_center_crop
+
+    arr = np.stack([clip_resize_center_crop(f, TILE) for f in frames])
+    return arr[None]  # [1, F, C, H, W]
+
+
+def _case(family: str):
+    torch = pytest.importorskip("torch")
+
+    torch.manual_seed(11)
+    text_cfg = dict(**TEXT, model_type="llama", attention_bias=False,
+                    attention_dropout=0.0)
+    if family == "llava_next_video":
+        from transformers import (
+            LlavaNextVideoConfig,
+            LlavaNextVideoForConditionalGeneration,
+        )
+
+        hf_model = LlavaNextVideoForConditionalGeneration(
+            LlavaNextVideoConfig(
+                vision_config=dict(CLIP_VISION), text_config=text_cfg,
+                image_token_index=IMG_ID, video_token_index=VID_ID,
+                vision_feature_layer=-2,
+                vision_feature_select_strategy="default",
+                spatial_pool_mode="average", spatial_pool_stride=2,
+                image_grid_pinpoints=PINPOINTS,
+            )).eval()
+        arch = "LlavaNextVideoForConditionalGeneration"
+        extra = dict(spatial_pool_mode="average", spatial_pool_stride=2,
+                     image_grid_pinpoints=PINPOINTS)
+    else:
+        from transformers import (
+            VideoLlavaConfig,
+            VideoLlavaForConditionalGeneration,
+        )
+
+        hf_model = VideoLlavaForConditionalGeneration(VideoLlavaConfig(
+            vision_config=dict(CLIP_VISION), text_config=text_cfg,
+            image_token_index=IMG_ID, video_token_index=VID_ID,
+            vision_feature_layer=-2,
+            vision_feature_select_strategy="default",
+        )).eval()
+        arch = "VideoLlavaForConditionalGeneration"
+        extra = {}
+
+    cfg_dict = dict(
+        architectures=[arch], text_config=TEXT, vision_config=CLIP_VISION,
+        image_token_index=IMG_ID, video_token_index=VID_ID,
+        vision_feature_layer=-2, vision_feature_select_strategy="default",
+        **extra,
+    )
+    bundle = make_llava_bundle(cfg_dict, attention="xla",
+                               precision=FULL_PRECISION)
+    params = bundle.convert_hf(hf_state_from_torch(hf_model))
+    return torch, hf_model, bundle, params
+
+
+def _video_case(family: str):
+    torch, hf_model, bundle, params = _case(family)
+    frames = _frames(3, seed=5)
+    vpatches, _meta, vseqlen = bundle.preprocess_video(frames)
+    assert vpatches.shape[0] == 3
+    per_frame = vseqlen // 3
+    expected = (G // 2) ** 2 if family == "llava_next_video" else G * G + 1
+    assert per_frame == expected
+
+    rng = np.random.default_rng(21)
+    prompts, examples = [], []
+    for text_len in (4, 7):
+        text = list(rng.integers(10, TEXT["vocab_size"], text_len))
+        prompt = text[:2] + [VID_ID] * vseqlen + text[2:]
+        prompts.append(prompt)
+        examples.append({"prompt_ids": prompt, "video_patches": [vpatches]})
+
+    # --- forward logits parity (right-padded single row) ---
+    P0 = len(prompts[0])
+    ids0 = np.asarray([prompts[0]], np.int64)
+    budget = 2 * 3 * G * G
+    arrays = bundle.vision_arrays(ids0, [], [], budget,
+                                  videos=[vpatches])
+    batch = {
+        "input_ids": jnp.asarray(ids0, jnp.int32),
+        "position_ids": jnp.asarray(
+            np.arange(P0)[None], jnp.int32),
+        "segment_ids": jnp.ones((1, P0), jnp.int32),
+        **{k: jnp.asarray(v) for k, v in arrays.items()},
+    }
+    ours_logits = np.asarray(jax.jit(bundle.forward)(params, batch))
+    pix = torch.tensor(_video_pixels(bundle, frames), dtype=torch.float32)
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.tensor(ids0),
+            pixel_values_videos=pix,
+        ).logits.numpy()
+    np.testing.assert_allclose(ours_logits[0], hf_logits[0],
+                               rtol=2e-4, atol=2e-4)
+
+    # --- greedy generate parity ---
+    P = max(len(p) for p in prompts) + 2
+    N = 8
+    ids, mask = _hf_left_padded(prompts, P)
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            pixel_values_videos=torch.cat([pix, pix]),
+            max_new_tokens=N, do_sample=False,
+            pad_token_id=PAD, eos_token_id=EOS,
+        ).numpy()[:, P:]
+    ours = _generate_ours(bundle, params, examples, P, N, budget)
+    _compare(ours, hf_out)
+
+
+def test_llava_next_video_matches_hf():
+    _video_case("llava_next_video")
+
+
+def test_video_llava_matches_hf():
+    _video_case("video_llava")
+
+
+def test_video_llava_image_and_video_row():
+    """Video-LLaVA mixed row: an image through the image tower and a
+    video through the video tower in ONE prompt -- the dual-tower split
+    (modeling_video_llava.py image_tower/video_tower) is the part a
+    single-tower wiring bug would silently break."""
+    torch, hf_model, bundle, params = _case("video_llava")
+    img = _image(90, 70, seed=9)
+    frames = _frames(2, seed=30)
+    ipatches, igrid, iseqlen = bundle.preprocess_image(img)
+    vpatches, _m, vseqlen = bundle.preprocess_video(frames)
+
+    rng = np.random.default_rng(33)
+    text = list(rng.integers(10, TEXT["vocab_size"], 6))
+    prompt = (text[:2] + [IMG_ID] * iseqlen + text[2:4]
+              + [VID_ID] * vseqlen + text[4:])
+    example = {"prompt_ids": prompt, "patches": [ipatches],
+               "grid_thw": [igrid], "video_patches": [vpatches]}
+
+    from iadr1_tpu.vision.anyres import clip_resize_center_crop
+
+    P = len(prompt) + 2
+    N = 8
+    ids, mask = _hf_left_padded([prompt], P)
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            pixel_values_images=torch.tensor(
+                clip_resize_center_crop(img, TILE)[None],
+                dtype=torch.float32),
+            pixel_values_videos=torch.tensor(
+                _video_pixels(bundle, frames), dtype=torch.float32),
+            max_new_tokens=N, do_sample=False,
+            pad_token_id=PAD, eos_token_id=EOS,
+        ).numpy()[:, P:]
+    budget = 4 * G * G
+    ours = _generate_ours(bundle, params, [example], P, N, budget)
+    _compare(ours, hf_out)
