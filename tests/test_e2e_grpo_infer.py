@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # CLI e2e chain (minutes)
+
 from helpers import (
     build_benchmark_json,
     build_iad_rl_dataset,

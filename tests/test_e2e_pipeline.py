@@ -17,6 +17,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # chained SFT->export->GRPO->eval e2e (~6 min)
+
 from helpers import (
     build_iad_rl_dataset,
     build_iad_sft_dataset,

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # CLI e2e chain (minutes)
+
 from helpers import build_tiny_vlm_checkpoint
 
 

@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # CLI e2e chain (minutes)
+
 from helpers import tiny_qwen_tokenizer
 
 

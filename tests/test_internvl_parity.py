@@ -4,6 +4,8 @@ shuffle + projector + full VLM forward + dynamic tiling."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch HF model build + logits parity
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ packing plan, and full VLM forward on a random tiny config."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch HF model build + logits parity
+
 import jax
 import jax.numpy as jnp
 

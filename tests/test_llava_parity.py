@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch HF model build + logits parity
+
 import jax
 import jax.numpy as jnp
 

@@ -17,6 +17,8 @@ Reference analogue: flash-attn under ZeRO-3 sharding everywhere
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-device SPMD step compiles (~30s each)
+
 import jax
 import jax.numpy as jnp
 

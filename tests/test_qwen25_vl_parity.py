@@ -4,6 +4,8 @@ padding + full-attention blocks) and full VLM forward."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch HF model build + logits parity
+
 import jax
 import jax.numpy as jnp
 

@@ -7,6 +7,8 @@ transformers Qwen2MoeForCausalLM)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch HF model build + logits parity
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ CPU) on a random tiny config, plus KV-cache consistency."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch HF model build + logits parity
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ image preprocessing, vision tower, M-RoPE grids, and full VLM forward."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch HF model build + logits parity
+
 import jax
 import jax.numpy as jnp
 

@@ -20,6 +20,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # executes the reference template engine over 78 templates
+
 from iadr1_tpu.data.template import TEMPLATES as OUR_TEMPLATES, get_template
 
 from helpers import tiny_qwen_tokenizer

@@ -22,6 +22,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode flash fwd+bwd at 72B head shapes
+
 import jax
 import jax.numpy as jnp
 

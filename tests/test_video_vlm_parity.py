@@ -15,6 +15,8 @@ llamafactory/model/loader.py:186-189 (AutoModelForVision2Seq routing).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # HF video-family logits+generate parity (minutes)
+
 import jax
 import jax.numpy as jnp
 

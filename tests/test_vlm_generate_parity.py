@@ -11,6 +11,8 @@ vLLM-vs-HF equivalence the reference assumes
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-family HF greedy-generate sweep (minutes)
+
 import jax
 import jax.numpy as jnp
 
