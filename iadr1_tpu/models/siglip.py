@@ -179,19 +179,31 @@ def apply(
               params["patch_embed"]["kernel"], params["patch_embed"]["bias"])
     h = h + params["pos_embed"][None].astype(h.dtype)
 
+    from jax.ad_checkpoint import checkpoint_name
+
     def block(h, layer):
         x = layer_norm(h, layer["norm1"]["scale"], layer["norm1"]["bias"], eps)
         a = layer["attn"]
-        q = dense(x, a["q"]["kernel"], a["q"]["bias"]).reshape(N, T, H, D)
-        k = dense(x, a["k"]["kernel"], a["k"]["bias"]).reshape(N, T, H, D)
-        v = dense(x, a["v"]["kernel"], a["v"]["bias"]).reshape(N, T, H, D)
+        # Named for the save_acts policy: saving the flat projections, the
+        # attention output and the pre-gelu fc1 act lets the rematerialized
+        # backward DCE every big matmul except the o-projection (~10% of
+        # the fwd FLOPs instead of a full recompute).
+        q = checkpoint_name(dense(x, a["q"]["kernel"], a["q"]["bias"]),
+                            "act_qkv").reshape(N, T, H, D)
+        k = checkpoint_name(dense(x, a["k"]["kernel"], a["k"]["bias"]),
+                            "act_qkv").reshape(N, T, H, D)
+        v = checkpoint_name(dense(x, a["v"]["kernel"], a["v"]["bias"]),
+                            "act_qkv").reshape(N, T, H, D)
         if attention_fn is not None:
             attn = attention_fn(q, k, v, causal=False)
         else:
             attn = common.xla_attention(q, k, v, None)
-        h = h + dense(attn.reshape(N, T, H * D), a["o"]["kernel"], a["o"]["bias"])
+        attn = checkpoint_name(attn.reshape(N, T, H * D), "act_attn")
+        h = h + dense(attn, a["o"]["kernel"], a["o"]["bias"])
         x = layer_norm(h, layer["norm2"]["scale"], layer["norm2"]["bias"], eps)
-        x = dense(x, layer["mlp"]["fc1"]["kernel"], layer["mlp"]["fc1"]["bias"])
+        x = checkpoint_name(
+            dense(x, layer["mlp"]["fc1"]["kernel"],
+                  layer["mlp"]["fc1"]["bias"]), "act_fc1")
         x = gelu_tanh(x)
         h = h + dense(x, layer["mlp"]["fc2"]["kernel"], layer["mlp"]["fc2"]["bias"])
         return h, None
@@ -201,7 +213,15 @@ def apply(
     # recompute in the replayed backward (and the [T,T] probs tensor never
     # exists at all).  The XLA path has nothing named -> plain full remat.
     # remat="full" forces the plain mode for either path.
-    if remat and attention_fn is not None and remat != "full":
+    # remat="save_acts" additionally saves the named qkv/attn/fc1 acts
+    # (~156 MB/layer at 12 tiles bf16): backward replays only the
+    # o-projection and the norms/gelu -- the measured winner on v5e
+    # (tools/probe_vlm_perf.py, docs/validation_r5.md).
+    if remat == "save_acts":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse", "act_qkv", "act_attn", "act_fc1")
+        body = jax.checkpoint(block, policy=policy)
+    elif remat and attention_fn is not None and remat != "full":
         from iadr1_tpu.models.attention import FLASH_REMAT_POLICY
 
         body = jax.checkpoint(block, policy=FLASH_REMAT_POLICY)

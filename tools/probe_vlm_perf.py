@@ -33,7 +33,9 @@ B, T, STEPS, WARMUP, IMG_PX = 4, 2048, 10, 2, (520, 390)
 
 
 def build_batch(bundle, hf):
-    import jax.numpy as jnp
+    """Host-side batch (numpy).  Legs re-upload per run: the inter-leg
+    _release_device_memory() deletes EVERY live device array, so a device
+    batch built once would be dead by leg 2."""
     from PIL import Image
 
     from iadr1_tpu.data.collator import VLMBatchBuilder
@@ -56,8 +58,14 @@ def build_batch(bundle, hf):
         })
     builder = VLMBatchBuilder(
         bundle=bundle, patch_budget=B * patches.shape[0] * patches.shape[1])
-    batch = {k: jnp.asarray(v) for k, v in builder(rows).items()}
+    batch = {k: np.asarray(v) for k, v in builder(rows).items()}
     return batch, patches.shape[0] * patches.shape[1]
+
+
+def upload(host_batch):
+    import jax.numpy as jnp
+
+    return {k: jnp.asarray(v) for k, v in host_batch.items()}
 
 
 def build_step(bundle, hidden_kw):
@@ -111,7 +119,7 @@ def main():
         image_grid_pinpoints=[[384, 384], [384, 768], [768, 384]],
     )
     bundle = make_llava_onevision_bundle(hf, attention="flash")
-    batch, patches_per_img = build_batch(bundle, hf)
+    host_batch, patches_per_img = build_batch(bundle, hf)
     tok_per_step = B * T
 
     def flash_b256(q, k, v, *, causal=False):
@@ -127,31 +135,34 @@ def main():
         ("xla_tower_full_remat", {"tower_attention_fn": None}),
         # the new default: flash tower + save-(out,lse) remat policy
         ("flash_tower_policy", {}),
-        # no tower checkpoint at all (recompute-free backward)
+        # save the named qkv/attn/fc1 acts: backward replays only the
+        # o-projection + norms/gelu (~156 MB/layer extra residuals)
+        ("xla_tower_save_acts", {"tower_attention_fn": None,
+                                 "tower_remat": "save_acts"}),
+        ("flash_tower_save_acts", {"tower_remat": "save_acts"}),
+        # no tower checkpoint at all (recompute-free backward; OOMs at B=4)
         ("flash_tower_noremat", {"tower_remat": False}),
-        ("xla_tower_noremat", {"tower_attention_fn": None,
-                               "tower_remat": False}),
-        # tighter blocks: 729-patch tiles pad to 3x256 instead of 2x512
-        ("flash_tower_b256", {"tower_attention_fn": flash_b256}),
     ]
     res = {"patches_per_image": patches_per_img, "batch": B, "seq": T}
     for name, kw in legs:
         try:
             state, step = build_step(bundle, kw)
-            sec = time_step(state, step, batch)
+            sec = time_step(state, step, upload(host_batch))
             res[name] = {"step_sec": round(sec, 4),
                          "tokens_per_sec": round(tok_per_step / sec, 1)}
             del state, step
         except Exception as e:  # noqa: BLE001 -- OOM legs report and move on
-            res[name] = {"error": str(e)[:300]}
+            res[name] = {"error": str(e)[:2000]}
         _release_device_memory()
         print(json.dumps({name: res[name]}), flush=True)
 
     # decomposition: text-only step (drop the vision arrays entirely)
-    text_batch = {k: batch[k] for k in
-                  ("input_ids", "labels", "segment_ids", "position_ids")}
+    text_batch = upload({k: host_batch[k] for k in
+                         ("input_ids", "labels", "segment_ids",
+                          "position_ids")})
     state, step = build_step(bundle, {})
     sec = time_step(state, step, text_batch)
+    del text_batch
     res["text_only"] = {"step_sec": round(sec, 4)}
     del state, step
     _release_device_memory()
@@ -162,40 +173,40 @@ def main():
     from iadr1_tpu.models import siglip
 
     vcfg = bundle.cfg.vision
-    vparams = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16),
-        siglip.init_params(jax.random.PRNGKey(1), vcfg))
-    tiles = batch["tiles"]
+    host_tiles = host_batch["tiles"]
     for name, attn, rm in (
         ("tower_xla_remat", None, True),
-        ("tower_flash_policy", "flash", "policy"),
-        ("tower_flash_b256", flash_b256, "policy"),
+        ("tower_xla_save_acts", None, "save_acts"),
+        ("tower_flash_save_acts", "flash", "save_acts"),
         ("tower_xla_noremat", None, False),
-        ("tower_flash_noremat", "flash", False),
     ):
         from iadr1_tpu.models.attention import flash_attn
 
         attn_fn = flash_attn if attn == "flash" else attn
 
-        def loss_fn(p, attn_fn=attn_fn, rm=rm):
-            f = siglip.apply(p, vcfg, tiles, remat=rm,
+        def loss_fn(p, t, attn_fn=attn_fn, rm=rm):
+            f = siglip.apply(p, vcfg, t, remat=rm,
                              post_layernorm=False, attention_fn=attn_fn)
             return jnp.sum(f.astype(jnp.float32) ** 2) * 1e-6
 
         try:
+            vparams = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16),
+                siglip.init_params(jax.random.PRNGKey(1), vcfg))
+            tiles = jnp.asarray(host_tiles)
             g = jax.jit(jax.grad(loss_fn))
             for _ in range(WARMUP):
-                out = g(vparams)
+                out = g(vparams, tiles)
             _sync(jax.tree.leaves(out)[0])
             t0 = time.perf_counter()
             for _ in range(STEPS):
-                out = g(vparams)
+                out = g(vparams, tiles)
             _sync(jax.tree.leaves(out)[0])
             res[name] = {"grad_sec": round(
                 (time.perf_counter() - t0) / STEPS, 4)}
             del g, out
         except Exception as e:  # noqa: BLE001
-            res[name] = {"error": str(e)[:300]}
+            res[name] = {"error": str(e)[:2000]}
         _release_device_memory()
         print(json.dumps({name: res[name]}), flush=True)
 
