@@ -176,8 +176,13 @@ def bench_sft_vlm(on_tpu: bool, batch_override: int | None = None) -> dict:
         OptimizerConfig(learning_rate=1e-5, total_steps=1000,
                         mu_dtype="bfloat16" if on_tpu else None))
     state = create_sharded_state(params, optimizer)
+    # tower_remat="save_acts": the tower fwd+bwd is HALF the VLM step;
+    # saving the named qkv/attn/fc1 acts leaves only the o-projection in
+    # the backward replay -- +4.4% step throughput over the round-4
+    # full-tower-remat recipe (v5e, tools/probe_vlm_perf.py)
     step = make_chunked_sft_step(
-        (lambda p, b: bundle.hidden_fn(p, b, remat="save_qkv"))
+        (lambda p, b: bundle.hidden_fn(p, b, remat="save_qkv",
+                                       tower_remat="save_acts"))
         if on_tpu else bundle.hidden_fn,
         bundle.head_kernel_fn, optimizer, schedule,
         chunk_size=4096 if on_tpu else 1024,

@@ -632,14 +632,13 @@ def make_llava_onevision_bundle(hf_config: dict, attention: str = "auto",
     decode_attn = default_decode_attention(attention)
     g = vcfg.grid
 
-    # flash in the SigLIP tower too: the [729,729] probs tensor never
-    # materializes and the named (out,lse) residuals let the tower's remat
-    # policy skip the attention recompute in backward.  Overridable per
-    # call (tower_attention_fn/tower_remat) -- tools/probe_vlm_perf.py
-    # sweeps the tower recipe; docs/validation_r5.md records the winner.
-    from iadr1_tpu.models.attention import flash_attn
-
-    tower_attn = flash_attn if attn is flash_attn else None
+    # XLA dense attention in the SigLIP tower: at 729 patches per tile the
+    # flash kernel pads to 2x512 blocks and measures SLOWER than the dense
+    # [729,729] path on v5e (12,606 vs 12,685 tok/s full-step; the gap
+    # widens under save_acts remat: 12,949 vs 13,239 -- round-5
+    # tools/probe_vlm_perf.py, docs/validation_r5.md).  Overridable per
+    # call (tower_attention_fn/tower_remat).
+    tower_attn = None
 
     def apply(params, batch, cache=None, remat=False, cache_mode="extend",
               lora=None, lora_scale=1.0, tower_attention_fn="default",
