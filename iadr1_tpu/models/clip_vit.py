@@ -185,16 +185,27 @@ def apply(
     h = layer_norm(h, params["pre_norm"]["scale"], params["pre_norm"]["bias"], eps)
     T1 = T + 1
 
+    from jax.ad_checkpoint import checkpoint_name
+
     def block(h, layer):
         x = layer_norm(h, layer["norm1"]["scale"], layer["norm1"]["bias"], eps)
         a = layer["attn"]
-        q = dense(x, a["q"]["kernel"], a["q"]["bias"]).reshape(N, T1, H, D)
-        k = dense(x, a["k"]["kernel"], a["k"]["bias"]).reshape(N, T1, H, D)
-        v = dense(x, a["v"]["kernel"], a["v"]["bias"]).reshape(N, T1, H, D)
+        # named for remat="save_acts" (see siglip.py: backward replays only
+        # the o-projection + norms/gelu; measured winner on the OneVision
+        # SigLIP tower, tools/probe_vlm_perf.py)
+        q = checkpoint_name(dense(x, a["q"]["kernel"], a["q"]["bias"]),
+                            "act_qkv").reshape(N, T1, H, D)
+        k = checkpoint_name(dense(x, a["k"]["kernel"], a["k"]["bias"]),
+                            "act_qkv").reshape(N, T1, H, D)
+        v = checkpoint_name(dense(x, a["v"]["kernel"], a["v"]["bias"]),
+                            "act_qkv").reshape(N, T1, H, D)
         attn = common.xla_attention(q, k, v, None)
-        h = h + dense(attn.reshape(N, T1, H * D), a["o"]["kernel"], a["o"]["bias"])
+        attn = checkpoint_name(attn.reshape(N, T1, H * D), "act_attn")
+        h = h + dense(attn, a["o"]["kernel"], a["o"]["bias"])
         x = layer_norm(h, layer["norm2"]["scale"], layer["norm2"]["bias"], eps)
-        x = dense(x, layer["mlp"]["fc1"]["kernel"], layer["mlp"]["fc1"]["bias"])
+        x = checkpoint_name(
+            dense(x, layer["mlp"]["fc1"]["kernel"],
+                  layer["mlp"]["fc1"]["bias"]), "act_fc1")
         x = quick_gelu(x)
         h = h + dense(x, layer["mlp"]["fc2"]["kernel"], layer["mlp"]["fc2"]["bias"])
         return h, None
@@ -202,6 +213,11 @@ def apply(
     layers = params["layers"]
     if num_layers is not None and num_layers < cfg.num_hidden_layers:
         layers = jax.tree.map(lambda a: a[:num_layers], layers)
-    body = jax.checkpoint(block) if remat else block
+    if remat == "save_acts":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "act_qkv", "act_attn", "act_fc1")
+        body = jax.checkpoint(block, policy=policy)
+    else:
+        body = jax.checkpoint(block) if remat else block
     h, _ = jax.lax.scan(body, h, layers)
     return h if keep_cls else h[:, 1:]

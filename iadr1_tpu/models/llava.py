@@ -154,7 +154,9 @@ def compute_embeds(params, cfg, input_ids, *, tiles=None, pack_src=None,
                    pack_weights=None, newline_mask=None, scatter_rows=None,
                    scatter_cols=None, video_tiles=None,
                    video_scatter_rows=None, video_scatter_cols=None,
-                   precision=DEFAULT_PRECISION, remat=False):
+                   precision=DEFAULT_PRECISION, remat=False,
+                   tower_remat=None):
+    tower_rm = remat if tower_remat is None else tower_remat
     """Token embeddings with CLIP/anyres image features (and per-frame
     video features) scattered in (shared by apply and the shared-prompt
     GRPO scoring path)."""
@@ -164,7 +166,7 @@ def compute_embeds(params, cfg, input_ids, *, tiles=None, pack_src=None,
     if tiles is not None:
         feats = clip_vit.apply(
             params["vision"], cfg.vision, tiles, precision=precision,
-            remat=remat, num_layers=cfg.tower_layers,
+            remat=tower_rm, num_layers=cfg.tower_layers,
             keep_cls=cfg.vision_feature_select_strategy == "full",
         )
         feats = project(params, feats)
@@ -186,7 +188,7 @@ def compute_embeds(params, cfg, input_ids, *, tiles=None, pack_src=None,
         tower = params.get("video_tower", params["vision"])
         vfeats = clip_vit.apply(
             tower, cfg.vision, video_tiles, precision=precision,
-            remat=remat, num_layers=cfg.tower_layers,
+            remat=tower_rm, num_layers=cfg.tower_layers,
             keep_cls=(cfg.video_keep_cls
                       or cfg.vision_feature_select_strategy == "full"),
         )
@@ -223,6 +225,7 @@ def apply(
     lora: dict | None = None,
     lora_scale: float = 1.0,
     remat: bool = False,
+    tower_remat=None,
 ) -> tuple[jax.Array, dict | None]:
     embeds = compute_embeds(
         params, cfg, input_ids, tiles=tiles, pack_src=pack_src,
@@ -230,7 +233,7 @@ def apply(
         scatter_rows=scatter_rows, scatter_cols=scatter_cols,
         video_tiles=video_tiles, video_scatter_rows=video_scatter_rows,
         video_scatter_cols=video_scatter_cols,
-        precision=precision, remat=remat,
+        precision=precision, remat=remat, tower_remat=tower_remat,
     )
     return qwen2.apply(
         params["text"], cfg.text, inputs_embeds=embeds,

@@ -793,7 +793,7 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
     g = vcfg.grid
 
     def apply(params, batch, cache=None, remat=False, cache_mode="extend",
-              lora=None, lora_scale=1.0):
+              lora=None, lora_scale=1.0, tower_remat=None):
         return llava.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
@@ -809,6 +809,7 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
             lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn, remat=remat,
+            tower_remat=tower_remat,
         )
 
     def forward(params, batch, remat=True):
