@@ -246,12 +246,18 @@ def apply_vision(
     h = h + params["pos_embed"][None].astype(h.dtype)
     T1 = T + 1
 
+    from jax.ad_checkpoint import checkpoint_name
+
     def block(h, layer):
         x = _norm(layer["norm1"], h, cfg)
         a = layer["attn"]
-        q = dense(x, a["q"]["kernel"], a["q"].get("bias"))
-        k = dense(x, a["k"]["kernel"], a["k"].get("bias"))
-        v = dense(x, a["v"]["kernel"], a["v"].get("bias"))
+        # named for remat="save_acts" (see siglip.py)
+        q = checkpoint_name(dense(x, a["q"]["kernel"], a["q"].get("bias")),
+                            "act_qkv")
+        k = checkpoint_name(dense(x, a["k"]["kernel"], a["k"].get("bias")),
+                            "act_qkv")
+        v = checkpoint_name(dense(x, a["v"]["kernel"], a["v"].get("bias")),
+                            "act_qkv")
         if cfg.use_qk_norm:
             q = common.rms_norm(q, layer["attn"]["q_norm"], cfg.layer_norm_eps)
             k = common.rms_norm(k, layer["attn"]["k_norm"], cfg.layer_norm_eps)
@@ -259,16 +265,24 @@ def apply_vision(
         k = k.reshape(N, T1, H, D)
         v = v.reshape(N, T1, H, D)
         attn = common.xla_attention(q, k, v, None)
-        attn = dense(attn.reshape(N, T1, H * D), a["o"]["kernel"], a["o"]["bias"])
+        attn = checkpoint_name(attn.reshape(N, T1, H * D), "act_attn")
+        attn = dense(attn, a["o"]["kernel"], a["o"]["bias"])
         h = h + attn * layer["lambda1"].astype(attn.dtype)
         x = _norm(layer["norm2"], h, cfg)
-        x = dense(x, layer["mlp"]["fc1"]["kernel"], layer["mlp"]["fc1"]["bias"])
+        x = checkpoint_name(
+            dense(x, layer["mlp"]["fc1"]["kernel"],
+                  layer["mlp"]["fc1"]["bias"]), "act_fc1")
         x = jax.nn.gelu(x, approximate=False)
         x = dense(x, layer["mlp"]["fc2"]["kernel"], layer["mlp"]["fc2"]["bias"])
         h = h + x * layer["lambda2"].astype(x.dtype)
         return h, None
 
-    body = jax.checkpoint(block) if remat else block
+    if remat == "save_acts":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "act_qkv", "act_attn", "act_fc1")
+        body = jax.checkpoint(block, policy=policy)
+    else:
+        body = jax.checkpoint(block) if remat else block
     h, _ = jax.lax.scan(body, h, params["layers"])
     return h
 
@@ -360,14 +374,16 @@ def image_features(params, cfg: InternVLConfig, tiles, precision, remat=False):
 
 def compute_embeds(params, cfg, input_ids, *, tiles=None, scatter_rows=None,
                    scatter_cols=None, precision=DEFAULT_PRECISION,
-                   remat=False, **_unused):
+                   remat=False, tower_remat=None, **_unused):
     """Token embeddings with InternViT features scattered in (shared by
     apply and the shared-prompt GRPO scoring path)."""
     embeds = common.embed_lookup(
         params["text"]["embed"]["weight"], input_ids
     ).astype(precision.compute_dtype)
     if tiles is not None:
-        feats = image_features(params, cfg, tiles, precision, remat)
+        feats = image_features(
+            params, cfg, tiles, precision,
+            remat if tower_remat is None else tower_remat)
         embeds = merge_image_features(embeds, feats, scatter_rows, scatter_cols)
     return embeds
 
@@ -390,10 +406,12 @@ def apply(
     lora: dict | None = None,
     lora_scale: float = 1.0,
     remat: bool = False,
+    tower_remat=None,
 ) -> tuple[jax.Array, dict | None]:
     embeds = compute_embeds(
         params, cfg, input_ids, tiles=tiles, scatter_rows=scatter_rows,
         scatter_cols=scatter_cols, precision=precision, remat=remat,
+        tower_remat=tower_remat,
     )
     return qwen2.apply(
         params["text"], cfg.text, inputs_embeds=embeds,

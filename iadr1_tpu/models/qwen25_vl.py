@@ -21,6 +21,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 
 from iadr1_tpu.core.precision import Precision, DEFAULT_PRECISION
@@ -304,7 +305,10 @@ def apply_vision(
         use_full = use_full.astype(bool)
         segs = jnp.where(use_full, full_segs, window_segs)[None, :]
         x = rms_norm(h, layer["norm1"], eps)
-        qkv = dense(x, layer["attn"]["qkv"]["kernel"], layer["attn"]["qkv"]["bias"])
+        # named for remat="save_acts" (see siglip.py)
+        qkv = checkpoint_name(
+            dense(x, layer["attn"]["qkv"]["kernel"],
+                  layer["attn"]["qkv"]["bias"]), "act_qkv")
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(1, P, H, D)
         k = k.reshape(1, P, H, D)
@@ -320,13 +324,16 @@ def apply_vision(
                 q, k, v, mask=None, q_segments=segs, kv_segments=segs,
                 causal=False,
             )
-        h = h + dense(attn_out.reshape(P, H * D),
+        attn_out = checkpoint_name(attn_out.reshape(P, H * D), "act_attn")
+        h = h + dense(attn_out,
                       layer["attn"]["proj"]["kernel"],
                       layer["attn"]["proj"]["bias"])
         x = rms_norm(h, layer["norm2"], eps)
         mlp = layer["mlp"]
-        g = dense(x, mlp["gate"]["kernel"], mlp["gate"]["bias"])
-        u = dense(x, mlp["up"]["kernel"], mlp["up"]["bias"])
+        g = checkpoint_name(
+            dense(x, mlp["gate"]["kernel"], mlp["gate"]["bias"]), "act_fc1")
+        u = checkpoint_name(
+            dense(x, mlp["up"]["kernel"], mlp["up"]["bias"]), "act_fc1")
         h = h + dense(jax.nn.silu(g) * u, mlp["down"]["kernel"], mlp["down"]["bias"])
         return h, None
 
@@ -335,7 +342,12 @@ def apply_vision(
         use_full_flags = use_full_flags.at[
             jnp.asarray(cfg.fullatt_block_indexes)
         ].set(1)
-    body = jax.checkpoint(block) if remat else block
+    if remat == "save_acts":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse", "act_qkv", "act_attn", "act_fc1")
+        body = jax.checkpoint(block, policy=policy)
+    else:
+        body = jax.checkpoint(block) if remat else block
     h, _ = jax.lax.scan(body, h, (params["blocks"], use_full_flags))
 
     m = params["merger"]
@@ -402,6 +414,7 @@ def apply(
     lora_scale: float = 1.0,
     vision_attention_fn: Callable | None = None,
     remat: bool = False,
+    tower_remat=None,
 ) -> tuple[jax.Array, dict | None]:
     from iadr1_tpu.models.qwen2_vl import merge_image_features
 
@@ -412,7 +425,8 @@ def apply(
         feats = apply_vision(
             params["vision"], cfg.vision, patches, rot_cos, rot_sin,
             full_segs, window_segs, precision=precision,
-            attention_fn=vision_attention_fn, remat=remat,
+            attention_fn=vision_attention_fn,
+            remat=remat if tower_remat is None else tower_remat,
         )
         embeds = merge_image_features(embeds, feats, scatter_rows, scatter_cols)
     return qwen2.apply(

@@ -184,9 +184,15 @@ def apply_vision(
             causal=False,
         )
 
+    from jax.ad_checkpoint import checkpoint_name
+
     def block(h, layer):
         x = layer_norm(h, layer["norm1"]["scale"], layer["norm1"]["bias"])
-        qkv = dense(x, layer["attn"]["qkv"]["kernel"], layer["attn"]["qkv"]["bias"])
+        # named for remat="save_acts" (see siglip.py: backward replays only
+        # the proj matmul + rope/norms/gelu)
+        qkv = checkpoint_name(
+            dense(x, layer["attn"]["qkv"]["kernel"],
+                  layer["attn"]["qkv"]["bias"]), "act_qkv")
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(1, P, H, D)
         k = k.reshape(1, P, H, D)
@@ -194,15 +200,23 @@ def apply_vision(
         qf = q.astype(jnp.float32) * cos + rotate_half(q.astype(jnp.float32)) * sin
         kf = k.astype(jnp.float32) * cos + rotate_half(k.astype(jnp.float32)) * sin
         q, k = qf.astype(h.dtype), kf.astype(h.dtype)
-        attn_out = attn(q, k, v).reshape(P, H * D)
+        attn_out = checkpoint_name(attn(q, k, v).reshape(P, H * D),
+                                   "act_attn")
         h = h + dense(attn_out, layer["attn"]["proj"]["kernel"], layer["attn"]["proj"]["bias"])
         x = layer_norm(h, layer["norm2"]["scale"], layer["norm2"]["bias"])
-        x = dense(x, layer["mlp"]["fc1"]["kernel"], layer["mlp"]["fc1"]["bias"])
+        x = checkpoint_name(
+            dense(x, layer["mlp"]["fc1"]["kernel"],
+                  layer["mlp"]["fc1"]["bias"]), "act_fc1")
         x = quick_gelu(x)
         h = h + dense(x, layer["mlp"]["fc2"]["kernel"], layer["mlp"]["fc2"]["bias"])
         return h, None
 
-    body = jax.checkpoint(block) if remat else block
+    if remat == "save_acts":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse", "act_qkv", "act_attn", "act_fc1")
+        body = jax.checkpoint(block, policy=policy)
+    else:
+        body = jax.checkpoint(block) if remat else block
     h, _ = jax.lax.scan(body, h, params["blocks"])
 
     m = params["merger"]
@@ -351,6 +365,7 @@ def apply(
     lora_scale: float = 1.0,
     vision_attention_fn: Callable | None = None,
     remat: bool = False,
+    tower_remat=None,
 ) -> tuple[jax.Array, dict | None]:
     """Full VLM forward -> (hidden [B, T, hid], new_cache)."""
     embeds = common.embed_lookup(params["text"]["embed"]["weight"], input_ids).astype(
@@ -360,7 +375,8 @@ def apply(
         feats = apply_vision(
             params["vision"], cfg.vision, patches, rot_cos, rot_sin,
             vision_segments, precision=precision,
-            attention_fn=vision_attention_fn, remat=remat,
+            attention_fn=vision_attention_fn,
+            remat=remat if tower_remat is None else tower_remat,
         )
         embeds = merge_image_features(embeds, feats, scatter_rows, scatter_cols)
 

@@ -362,7 +362,7 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
                    "scatter_rows", "scatter_cols")
 
     def apply(params, batch, cache=None, remat=False, cache_mode="extend",
-              lora=None, lora_scale=1.0):
+              lora=None, lora_scale=1.0, tower_remat=None):
         return qwen2_vl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             patches=batch.get("patches"),
@@ -375,6 +375,7 @@ def make_qwen2_vl_bundle(hf_config: dict, attention: str = "auto",
             lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn,
             vision_attention_fn=attn, remat=remat,
+            tower_remat=tower_remat,
         )
 
     def forward(params, batch, remat=True):
@@ -489,7 +490,7 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
     decode_attn = default_decode_attention(attention)
 
     def apply(params, batch, cache=None, remat=False, cache_mode="extend",
-              lora=None, lora_scale=1.0):
+              lora=None, lora_scale=1.0, tower_remat=None):
         return qwen25_vl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             patches=batch.get("patches"),
@@ -503,6 +504,7 @@ def make_qwen25_vl_bundle(hf_config: dict, attention: str = "auto",
             lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn,
             vision_attention_fn=attn, remat=remat,
+            tower_remat=tower_remat,
         )
 
     def forward(params, batch, remat=True):
@@ -998,7 +1000,7 @@ def make_internvl_bundle(hf_config: dict, attention: str = "auto",
     g = vcfg.grid
 
     def apply(params, batch, cache=None, remat=False, cache_mode="extend",
-              lora=None, lora_scale=1.0):
+              lora=None, lora_scale=1.0, tower_remat=None):
         return internvl.apply(
             params, cfg, batch["input_ids"], batch["position_ids"],
             tiles=batch.get("tiles"),
@@ -1008,6 +1010,7 @@ def make_internvl_bundle(hf_config: dict, attention: str = "auto",
             cache_mode=cache_mode, decode_attention_fn=decode_attn,
             lora=lora, lora_scale=lora_scale,
             precision=precision, attention_fn=attn, remat=remat,
+            tower_remat=tower_remat,
         )
 
     def forward(params, batch, remat=True):

@@ -107,3 +107,108 @@ def test_onevision_bundle_tower_remat_step_parity():
 
     ref = hidden_sum(False)
     assert hidden_sum("save_acts") == pytest.approx(ref, rel=1e-6)
+
+
+def test_qwen2vl_bundle_tower_remat_step_parity():
+    from iadr1_tpu.models.registry import bundle_from_hf_config
+    from iadr1_tpu.vision import preprocess as vp
+    from iadr1_tpu.vision.mrope import get_mrope_positions
+
+    hf = dict(
+        architectures=["Qwen2VLForConditionalGeneration"],
+        text_config=dict(
+            vocab_size=512, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, rms_norm_eps=1e-6, rope_theta=1e6,
+            tie_word_embeddings=True,
+            rope_scaling={"type": "mrope", "mrope_section": [4, 6, 6]},
+        ),
+        vision_config=dict(depth=2, embed_dim=64, hidden_size=64,
+                           num_heads=4, patch_size=14, spatial_merge_size=2,
+                           temporal_patch_size=2),
+        image_token_id=7, video_token_id=8,
+        vision_start_token_id=5, vision_end_token_id=6,
+    )
+    bundle = bundle_from_hf_config(hf, attention="xla")
+    rng = np.random.default_rng(0)
+    grid = (1, 4, 4)
+    n_feats = 16 // 4
+    B, T = 2, 32
+    ids = np.full((B, T), 1, np.int64)
+    for b in range(B):
+        ids[b, 1] = 5
+        ids[b, 2:2 + n_feats] = 7
+        ids[b, 2 + n_feats] = 6
+        ids[b, 3 + n_feats:] = rng.integers(10, 512, T - 3 - n_feats)
+    grid_thw = np.asarray([grid] * B)
+    pos, _ = get_mrope_positions(ids, grid_thw, 7, 5)
+    cos, sin = vp.vision_rotary_tables(grid_thw, 64 // 4)
+    segs = vp.vision_segment_ids(grid_thw)
+    rows, cols = np.nonzero(ids == 7)
+    patches = rng.standard_normal((B * 16, 3 * 2 * 14 * 14)).astype(np.float32)
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "position_ids": jnp.asarray(pos, jnp.int32),
+        "segment_ids": jnp.ones((B, T), jnp.int32),
+        "patches": jnp.asarray(patches),
+        "rot_cos": jnp.asarray(cos), "rot_sin": jnp.asarray(sin),
+        "vision_segments": jnp.asarray(segs),
+        "scatter_rows": jnp.asarray(rows, jnp.int32),
+        "scatter_cols": jnp.asarray(cols, jnp.int32),
+    }
+    params = bundle.init_params(jax.random.PRNGKey(0))
+
+    def hidden_sum(mode):
+        h = jax.jit(lambda p, b: bundle.hidden_fn(
+            p, b, remat=True, tower_remat=mode))(params, batch)
+        return float(jnp.sum(h.astype(jnp.float32) ** 2))
+
+    assert hidden_sum("save_acts") == pytest.approx(hidden_sum(False),
+                                                    rel=1e-6)
+
+
+def test_internvl_bundle_tower_remat_step_parity():
+    from PIL import Image
+
+    from iadr1_tpu.models.registry import bundle_from_hf_config
+
+    hf = dict(
+        architectures=["InternVLForConditionalGeneration"],
+        text_config=dict(vocab_size=512, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         rope_theta=1e4, tie_word_embeddings=True),
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=[56, 56], patch_size=[14, 14],
+                           layer_norm_eps=1e-6, attention_bias=True,
+                           use_qk_norm=False, norm_type="layer_norm"),
+        image_token_id=7, downsample_ratio=0.5,
+    )
+    bundle = bundle_from_hf_config(hf, attention="xla")
+    img = Image.fromarray((np.random.default_rng(0).random((64, 64, 3))
+                           * 255).astype(np.uint8))
+    patches, grid, seqlen = bundle.preprocess_image(img)
+    T = 32
+    rng = np.random.default_rng(1)
+    ids = rng.integers(10, 512, (2, T))
+    ids[:, 1:1 + seqlen] = 7
+    rows, cols = np.nonzero(ids == 7)
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "position_ids": jnp.asarray(
+            np.broadcast_to(np.arange(T), (2, T)).copy(), jnp.int32),
+        "segment_ids": jnp.ones((2, T), jnp.int32),
+        "tiles": jnp.asarray(np.concatenate([patches, patches]), jnp.float32),
+        "scatter_rows": jnp.asarray(rows, jnp.int32),
+        "scatter_cols": jnp.asarray(cols, jnp.int32),
+    }
+    params = bundle.init_params(jax.random.PRNGKey(0))
+
+    def hidden_sum(mode):
+        h = jax.jit(lambda p, b: bundle.hidden_fn(
+            p, b, remat=True, tower_remat=mode))(params, batch)
+        return float(jnp.sum(h.astype(jnp.float32) ** 2))
+
+    assert hidden_sum("save_acts") == pytest.approx(hidden_sum(False),
+                                                    rel=1e-6)
