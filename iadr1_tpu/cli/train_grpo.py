@@ -258,6 +258,14 @@ def main(argv=None):
         ex["prompt_ids"] = template.encode_prompt(
             tokenizer, messages, system=conv["system"]
         )
+        if bundle.multimodal and conv["images"] and (
+            template.mm_style == "paligemma"
+        ):
+            from iadr1_tpu.data.mm import prepend_image_tokens
+
+            ex["prompt_ids"], _ = prepend_image_tokens(
+                ex["prompt_ids"], None, seqlens, bundle.cfg.image_token_id
+            )
         examples.append(ex)
     print(f"prepared {len(examples)} RL prompts")
 

@@ -258,10 +258,21 @@ def prepare_rows(cfg: DataSection, tokenizer, template, bundle,
                 {**m, "content": m["content"].replace("<image>", "")}
                 for m in messages
             ]
+        cut = cfg.cutoff_len - 1
+        if extras and template.mm_style == "paligemma":
+            # the image-token run is prepended AFTER encoding, so it must
+            # be budgeted out of the text cutoff or packing drops the row
+            cut = max(cut - sum(seqlens), 8)
         input_ids, labels = encode_supervised_example(
             messages, template, tokenizer,
-            system=rec.get("system"), cutoff_len=cfg.cutoff_len - 1,
+            system=rec.get("system"), cutoff_len=cut,
         )
+        if extras and template.mm_style == "paligemma":
+            from iadr1_tpu.data.mm import prepend_image_tokens
+
+            input_ids, labels = prepend_image_tokens(
+                input_ids, labels, seqlens, bundle.cfg.image_token_id
+            )
         ex = {"input_ids": input_ids, "labels": labels}
         if extras:
             ex["extras"] = extras

@@ -15,6 +15,26 @@ IMAGE_PLACEHOLDER = "<image>"
 VIDEO_PLACEHOLDER = "<video>"
 
 
+def prepend_image_tokens(
+    input_ids: Sequence[int],
+    labels: Sequence[int] | None,
+    image_seqlens: Sequence[int],
+    image_token_id: int,
+) -> tuple[list[int], list[int] | None]:
+    """PaliGemma-style token-level image prefix: placeholders were
+    stripped from the text (mm_style "paligemma") and the image-token run
+    goes BEFORE the encoded ids -- ahead of BOS, exactly the HF processor
+    / reference plugin order (mm_plugin.py:700-712 process_token_ids).
+    Label positions for the run are IGNORE_INDEX."""
+    from iadr1_tpu.data.tokenize import IGNORE_INDEX
+
+    n = sum(image_seqlens)
+    ids = [image_token_id] * n + list(input_ids)
+    if labels is None:
+        return ids, None
+    return ids, [IGNORE_INDEX] * n + list(labels)
+
+
 def expand_video_tokens(
     messages: Sequence[dict],
     video_seqlens: Sequence[int],
@@ -78,6 +98,11 @@ def expand_image_tokens(
                 repl = image_token * n
             elif mm_style == "intern_vl":
                 repl = f"<img>{image_token * n}</img>"
+            elif mm_style == "paligemma":
+                # placeholders are STRIPPED from the text; the image-token
+                # run is prepended at the token level after encoding
+                # (prepend_image_tokens; reference mm_plugin.py:693-712)
+                repl = ""
             else:
                 raise ValueError(f"unknown mm style {mm_style!r}")
             content = content.replace(IMAGE_PLACEHOLDER, repl, 1)

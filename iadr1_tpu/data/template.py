@@ -832,7 +832,7 @@ _register(ChatTemplate(
     assistant=("{content}<end_of_turn>\n",),
     prefix=(BOS,),
     observation=_GEMMA_OBS,
-    image_token="<image>", mm_style="llava",
+    image_token="<image>", mm_style="paligemma",
 ))
 _register(ChatTemplate(
     name="phi_small",

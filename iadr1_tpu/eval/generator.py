@@ -87,6 +87,12 @@ class VLMGenerator:
                 for m in messages
             ]
         ids = self.template.encode_prompt(self.tokenizer, messages)
+        if seqlens and self.template.mm_style == "paligemma":
+            from iadr1_tpu.data.mm import prepend_image_tokens
+
+            ids, _ = prepend_image_tokens(
+                ids, None, seqlens, self.bundle.cfg.image_token_id
+            )
         ids = ids[-self.cfg.max_prompt_length :]
         return ids, patches, grids
 

@@ -42,13 +42,18 @@ def embed_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
     return jnp.take(table, ids, axis=0)
 
 
-def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
-    """RMSNorm in float32 as HF does (cast back to input dtype after)."""
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float,
+             offset: float = 0.0) -> jax.Array:
+    """RMSNorm in float32 as HF does (cast back to input dtype after).
+
+    ``offset`` implements Gemma-style norms: the effective scale is
+    ``offset + weight`` (GemmaRMSNorm computes (1 + w) with zero-init
+    weights, and multiplies in float32 before the downcast)."""
     dtype = x.dtype
     x = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
     x = x * jax.lax.rsqrt(var + eps)
-    return (x * scale.astype(jnp.float32)).astype(dtype)
+    return (x * (scale.astype(jnp.float32) + offset)).astype(dtype)
 
 
 def dense(x: jax.Array, kernel, bias: jax.Array | None = None):

@@ -60,6 +60,12 @@ class Qwen2Config:
     attention_bias: bool = True          # qwen2 uses qkv biases
     mrope_section: tuple[int, ...] | None = None  # set for Qwen2-VL text model
     rope_scaling: RopeScaling | None = None       # context extension
+    # Gemma-family knobs (PaliGemma's decoder, modeling_gemma.py): norms
+    # apply (offset + w) with zero-init weights, the MLP gate activation is
+    # gelu_pytorch_tanh, and token embeddings are scaled by sqrt(hidden).
+    rms_norm_offset: float = 0.0
+    hidden_act: str = "silu"
+    scale_embeds: bool = False
 
     @property
     def head_dim_(self) -> int:
@@ -83,11 +89,13 @@ def init_params(key: jax.Array, cfg: Qwen2Config, dtype=jnp.float32) -> dict:
         ks = jax.random.split(k, L)
         return jnp.stack([common.dense_init(kk, i, o, dtype) for kk in ks])
 
+    # Gemma norms carry a +offset, so their weights init at zero
+    norm_fill = 0.0 if cfg.rms_norm_offset else 1.0
     params = {
         "embed": {"weight": common.embed_init(keys[0], cfg.vocab_size, hid, dtype)},
         "layers": {
-            "input_norm": jnp.ones((L, hid), dtype),
-            "post_attn_norm": jnp.ones((L, hid), dtype),
+            "input_norm": jnp.full((L, hid), norm_fill, dtype),
+            "post_attn_norm": jnp.full((L, hid), norm_fill, dtype),
             "attn": {
                 "q": {"kernel": stack_dense(keys[1], hid, H * D)},
                 "k": {"kernel": stack_dense(keys[2], hid, Hkv * D)},
@@ -100,7 +108,7 @@ def init_params(key: jax.Array, cfg: Qwen2Config, dtype=jnp.float32) -> dict:
                 "down": {"kernel": stack_dense(keys[7], mlp, hid)},
             },
         },
-        "final_norm": jnp.ones((hid,), dtype),
+        "final_norm": jnp.full((hid,), norm_fill, dtype),
     }
     if cfg.attention_bias:
         params["layers"]["attn"]["q"]["bias"] = jnp.zeros((L, H * D), dtype)
@@ -221,6 +229,23 @@ def _lora_dense(x, kernel, bias, ab, scale):
     return y
 
 
+_ACTIVATIONS = {
+    "silu": jax.nn.silu,
+    # HF ACT2FN["gelu_pytorch_tanh"] (Gemma MLPs)
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+}
+
+
+def mlp_activation(cfg):
+    name = getattr(cfg, "hidden_act", "silu")
+    try:
+        return _ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f"unsupported hidden_act {name!r}") from None
+
+
 def _attn_block(
     cfg: Qwen2Config,
     h: jax.Array,
@@ -249,7 +274,8 @@ def _attn_block(
             node = node.get(p)
         return node
 
-    x = rms_norm(h, layer_params["input_norm"], cfg.rms_norm_eps)
+    x = rms_norm(h, layer_params["input_norm"], cfg.rms_norm_eps,
+                 getattr(cfg, "rms_norm_offset", 0.0))
     # Named for the remat policies (models/attention.py remat_policy):
     # saving the flat projections (last dim H*D / Hkv*D, lane-exact --
     # the post-rope [B,T,H,64] layout would pad 64->128 lanes in HBM)
@@ -307,16 +333,26 @@ def _layer(
         attend_fresh=attend_fresh, layer_lora=layer_lora,
         lora_scale=lora_scale,
     )
-    x = rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps)
+    x = rms_norm(h, layer_params["post_attn_norm"], cfg.rms_norm_eps,
+                 getattr(cfg, "rms_norm_offset", 0.0))
     mlp_p = layer_params["mlp"]
     gate = _lora_dense(x, mlp_p["gate"]["kernel"], None,
                        la("mlp", "gate", "kernel"), lora_scale)
     up = _lora_dense(x, mlp_p["up"]["kernel"], None,
                      la("mlp", "up", "kernel"), lora_scale)
-    down_in = jax.nn.silu(gate) * up
+    down_in = mlp_activation(cfg)(gate) * up
     h = h + _lora_dense(down_in, mlp_p["down"]["kernel"], None,
                         la("mlp", "down", "kernel"), lora_scale)
     return h, new_cache_kv, jnp.zeros((), jnp.float32)
+
+
+def _or_bidirectional(mask, q_segment_ids, kv_segment_ids, kv_bidir):
+    """Unmask [q, kv] pairs whose KV slot carries a prefix-LM flag (same
+    segment, non-padding) on top of an existing [B,1,T,S] causal mask."""
+    seg = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]) & (
+        kv_segment_ids[:, None, :] != 0
+    )
+    return mask | (seg[:, None, :, :] & (kv_bidir[:, None, None, :] != 0))
 
 
 def apply(
@@ -327,6 +363,7 @@ def apply(
     inputs_embeds: jax.Array | None = None,
     position_ids: jax.Array,
     segment_ids: jax.Array | None = None,
+    bidirectional_mask: jax.Array | None = None,
     cache: dict | None = None,
     cache_mode: str = "extend",
     precision: Precision = DEFAULT_PRECISION,
@@ -350,6 +387,15 @@ def apply(
     embedding lookup (used by the VLM wrappers to splice in image features).
     ``segment_ids``: [B, T] packing segments (0 = padding).
 
+    ``bidirectional_mask``: [B, T] bool/int prefix-LM flags for the fresh
+    block -- every query may additionally attend flagged KV positions even
+    when they lie ahead of it (HF PaliGemma _update_causal_mask unmasks
+    token_type_ids==0 columns).  Applied on the no-cache, prefill and
+    extend paths; flagged attention always runs the dense XLA path (the
+    flash kernel's block structure assumes causal).  Single-token decode
+    ignores it (a new suffix token attends the whole valid cache prefix
+    causally, which is already exact).
+
     ``cache_mode`` selects the cached-attention strategy:
     * "prefill" -- the cache is empty (write_idx 0): attend within the new
       block only via the fused flash kernel (or a [T, T] mask) and write
@@ -363,6 +409,12 @@ def apply(
     if inputs_embeds is None:
         inputs_embeds = common.embed_lookup(params["embed"]["weight"], input_ids)
     h = inputs_embeds.astype(precision.compute_dtype)
+    if getattr(cfg, "scale_embeds", False):
+        # Gemma scales token embeddings by sqrt(hidden) INSIDE the decoder
+        # (GemmaModel normalizer) -- i.e. after any VLM feature merge,
+        # matching HF PaliGemma where image features are pre-divided by
+        # the same factor.
+        h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
     B, T, _ = h.shape
 
     if cfg.mrope_section is not None:
@@ -397,7 +449,12 @@ def apply(
             mask = make_attention_mask(
                 segment_ids, segment_ids, q_index, q_index, causal=True
             )
-            if attention_fn is not None:
+            if bidirectional_mask is not None:
+                mask = _or_bidirectional(
+                    mask, segment_ids, segment_ids, bidirectional_mask
+                )
+                attn = lambda q, k, v: xla_attention(q, k, v, mask)
+            elif attention_fn is not None:
                 attn = functools.partial(
                     attention_fn, mask=mask, q_segments=segment_ids,
                     kv_segments=segment_ids, causal=True,
@@ -417,6 +474,13 @@ def apply(
             mask = make_attention_mask(
                 segment_ids, kv_segments, q_index, kv_index, causal=True
             )
+            if bidirectional_mask is not None:
+                kv_bidir = jax.lax.dynamic_update_slice_in_dim(
+                    jnp.zeros(kv_segments.shape, jnp.int32),
+                    bidirectional_mask.astype(jnp.int32), write_idx, axis=1,
+                )
+                mask = _or_bidirectional(mask, segment_ids, kv_segments,
+                                         kv_bidir)
             attn = lambda q, ck, cv: xla_attention(
                 q,
                 ck.transpose(0, 2, 1, 3).astype(q.dtype),
@@ -429,7 +493,12 @@ def apply(
         mask = make_attention_mask(
             segment_ids, segment_ids, q_index, q_index, causal=True
         )
-        if attention_fn is None:
+        if bidirectional_mask is not None:
+            mask = _or_bidirectional(
+                mask, segment_ids, segment_ids, bidirectional_mask
+            )
+            attn = lambda q, k, v: xla_attention(q, k, v, mask)
+        elif attention_fn is None:
             attn = lambda q, k, v: xla_attention(q, k, v, mask)
         else:
             attn = functools.partial(
@@ -496,7 +565,8 @@ def apply(
         body, (h, jnp.zeros((), jnp.float32)),
         (params["layers"], layer_lora, layer_cache))
 
-    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps,
+                 getattr(cfg, "rms_norm_offset", 0.0))
 
     new_cache = None
     if cache is not None:

@@ -1064,6 +1064,121 @@ def make_internvl_bundle(hf_config: dict, attention: str = "auto",
     )
 
 
+# ---------------------------------------------------------------------------
+# paligemma
+# ---------------------------------------------------------------------------
+
+
+def make_paligemma_bundle(hf_config: dict, attention: str = "auto",
+                          precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
+    """PaliGemma (SigLIP + Gemma prefix-LM).  Reference consumes it via
+    AutoModelForVision2Seq + the paligemma plugin (model/loader.py:186-189,
+    data/mm_plugin.py:680-739); here the Gemma decoder is the qwen2 module
+    with its Gemma knobs and the tower is the in-repo SigLIP."""
+    from iadr1_tpu.models import paligemma, siglip
+    from iadr1_tpu.vision import anyres
+
+    text_hf = hf_config["text_config"]
+    vis_hf = hf_config["vision_config"]
+    tcfg = dataclasses.replace(
+        _qwen2_text_cfg({**text_hf,
+                         "rope_theta": text_hf.get("rope_theta", 10000.0),
+                         "tie_word_embeddings": text_hf.get(
+                             "tie_word_embeddings", True)}),
+        attention_bias=bool(text_hf.get("attention_bias", False)),
+        rms_norm_offset=1.0,
+        hidden_act=text_hf.get("hidden_act",
+                               text_hf.get("hidden_activation")) or
+        "gelu_pytorch_tanh",
+        scale_embeds=True,
+    )
+    vcfg = siglip.SiglipVisionConfig(
+        hidden_size=vis_hf.get("hidden_size", 1152),
+        intermediate_size=vis_hf.get("intermediate_size", 4304),
+        num_hidden_layers=vis_hf.get("num_hidden_layers", 27),
+        num_attention_heads=vis_hf.get("num_attention_heads", 16),
+        image_size=vis_hf.get("image_size", 224),
+        patch_size=vis_hf.get("patch_size", 14),
+        layer_norm_eps=vis_hf.get("layer_norm_eps", 1e-6),
+    )
+    cfg = paligemma.PaliGemmaConfig(
+        text=tcfg, vision=vcfg,
+        image_token_id=hf_config.get("image_token_index",
+                                     hf_config.get("image_token_id", 257152)),
+        projection_dim=vis_hf.get("projection_dim",
+                                  hf_config.get("projection_dim")),
+    )
+    # The prefix-LM mask always runs the dense XLA attention path (flash's
+    # block structure assumes causal); only single-token decode uses the
+    # ragged kernel.
+    decode_attn = default_decode_attention(attention)
+    g = vcfg.grid
+
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0, tower_remat=None):
+        return paligemma.apply(
+            params, cfg, batch["input_ids"], batch["position_ids"],
+            tiles=batch.get("tiles"),
+            scatter_rows=batch.get("scatter_rows"),
+            scatter_cols=batch.get("scatter_cols"),
+            segment_ids=batch.get("segment_ids"), cache=cache,
+            cache_mode=cache_mode, decode_attention_fn=decode_attn,
+            lora=lora, lora_scale=lora_scale,
+            precision=precision, remat=remat, tower_remat=tower_remat,
+        )
+
+    def forward(params, batch, remat=True):
+        h, _ = apply(params, batch, remat=remat)
+        return paligemma.logits(params, cfg, h, precision)
+
+    def preprocess_image(pil, min_pixels=None, max_pixels=None):
+        # SiglipImageProcessor: plain bicubic resize to the square input
+        # (no center crop), rescale, normalize mean/std 0.5
+        from iadr1_tpu.data.mm_plugins import _normalize, _to_array
+
+        arr = _normalize(
+            _to_array(pil, (vcfg.image_size, vcfg.image_size)),
+            mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+        )
+        patches = anyres.patchify_tiles(arr[None], vcfg.patch_size)
+        return patches, (1, 1, pil.height, pil.width), g * g
+
+    def vision_arrays(input_ids, patches_list, grids, patch_budget):
+        # one fixed-size tile per image; features map 1:1 onto the
+        # prepended image-token run
+        B = input_ids.shape[0]
+        tile_budget = max(patch_budget // (g * g), 1)
+        n_feats = tile_budget * g * g
+        tiles = np.zeros((tile_budget, g * g, vcfg.patch_dim), np.float32)
+        srows = np.full(n_feats, B, np.int32)
+        scols = np.zeros(n_feats, np.int32)
+        rows_idx, cols_idx = np.nonzero(input_ids == cfg.image_token_id)
+        tile_off = tok_off = 0
+        for p in patches_list:
+            if tile_off + 1 > tile_budget:
+                raise ValueError("tile stream exceeds budget")
+            tiles[tile_off : tile_off + 1] = p
+            F = g * g
+            srows[tile_off * F : tile_off * F + F] = rows_idx[tok_off : tok_off + F]
+            scols[tile_off * F : tile_off * F + F] = cols_idx[tok_off : tok_off + F]
+            tile_off += 1
+            tok_off += F
+        return {"tiles": tiles, "scatter_rows": srows, "scatter_cols": scols}
+
+    return ModelBundle(
+        family="paligemma", cfg=cfg, multimodal=True,
+        init_params=lambda key, dtype=jnp.float32: paligemma.init_params(key, cfg, dtype),
+        convert_hf=lambda state, dtype=jnp.float32: paligemma.convert_hf(state, cfg, dtype),
+        logical_axes=lambda: paligemma.logical_axes(cfg),
+        forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: paligemma.logits(params, cfg, h, precision),
+        vision_arrays=vision_arrays,
+        preprocess_image=preprocess_image,
+        template="paligemma",
+    )
+
+
 FAMILY_BUILDERS = {
     "Qwen2ForCausalLM": make_qwen2_bundle,
     "Qwen2MoeForCausalLM": make_qwen2_moe_bundle,
@@ -1081,6 +1196,8 @@ FAMILY_BUILDERS = {
     "video_llava": make_llava_bundle,
     "InternVLForConditionalGeneration": make_internvl_bundle,
     "internvl": make_internvl_bundle,
+    "PaliGemmaForConditionalGeneration": make_paligemma_bundle,
+    "paligemma": make_paligemma_bundle,
     "qwen2": make_qwen2_bundle,
     "qwen2_vl": make_qwen2_vl_bundle,
     "qwen2_5_vl": make_qwen25_vl_bundle,
