@@ -103,6 +103,13 @@ def expand_image_tokens(
                 # run is prepended at the token level after encoding
                 # (prepend_image_tokens; reference mm_plugin.py:693-712)
                 repl = ""
+            elif mm_style == "pixtral":
+                # rows of [IMG] x cols ending [IMG_BREAK], last row ends
+                # [IMG_END] (reference mm_plugin.py:760-781); the seqlen
+                # entry is the (rows, cols) patch grid
+                gh, gw = n
+                body = (image_token * gw + "[IMG_BREAK]") * gh
+                repl = body[: -len("[IMG_BREAK]")] + "[IMG_END]"
             else:
                 raise ValueError(f"unknown mm style {mm_style!r}")
             content = content.replace(IMAGE_PLACEHOLDER, repl, 1)

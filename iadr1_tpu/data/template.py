@@ -850,7 +850,7 @@ _register(ChatTemplate(
     system=("{content}\n\n",),
     prefix=(BOS,),
     system_in_user=True,
-    image_token="[IMG]", mm_style="llava",
+    image_token="[IMG]", mm_style="pixtral",
 ))
 _register(ChatTemplate(
     name="sailor",

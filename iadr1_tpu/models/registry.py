@@ -746,6 +746,13 @@ def make_llava_bundle(hf_config: dict, attention: str = "auto",
     from iadr1_tpu.models import clip_vit, llava
     from iadr1_tpu.vision import anyres
 
+    # HF ships Pixtral as LlavaForConditionalGeneration with a pixtral
+    # vision_config -- a different tower (2-D rope, RMSNorm, variable
+    # sizes) and decoder (Mistral), so it gets its own bundle
+    if hf_config.get("vision_config", {}).get("model_type") == "pixtral":
+        return make_pixtral_bundle(hf_config, attention=attention,
+                                   precision=precision)
+
     archs = hf_config.get("architectures") or []
     mt = hf_config.get("model_type")
     lnv_mode = ("LlavaNextVideoForConditionalGeneration" in archs
@@ -1179,6 +1186,122 @@ def make_paligemma_bundle(hf_config: dict, attention: str = "auto",
     )
 
 
+# ---------------------------------------------------------------------------
+# pixtral
+# ---------------------------------------------------------------------------
+
+
+def make_pixtral_bundle(hf_config: dict, attention: str = "auto",
+                        precision: Precision = DEFAULT_PRECISION) -> ModelBundle:
+    """Pixtral (2-D-RoPE tower + Mistral decoder); HF ships it as
+    LlavaForConditionalGeneration with a pixtral vision_config
+    (make_llava_bundle routes here on that model_type).  Reference path:
+    AutoModelForVision2Seq + the pixtral plugin (model/loader.py:186-189,
+    data/mm_plugin.py:742-805)."""
+    import math
+
+    from iadr1_tpu.models import pixtral
+    from iadr1_tpu.vision import anyres
+
+    text_hf = hf_config["text_config"]
+    vis_hf = hf_config["vision_config"]
+    tcfg = dataclasses.replace(_qwen2_text_cfg(text_hf), attention_bias=False)
+    vcfg = pixtral.PixtralVisionConfig(
+        hidden_size=vis_hf.get("hidden_size", 1024),
+        intermediate_size=vis_hf.get("intermediate_size", 4096),
+        num_hidden_layers=vis_hf.get("num_hidden_layers", 24),
+        num_attention_heads=vis_hf.get("num_attention_heads", 16),
+        image_size=vis_hf.get("image_size", 1024),
+        patch_size=vis_hf.get("patch_size", 16),
+        rope_theta=vis_hf.get("rope_theta", 10000.0),
+    )
+    cfg = pixtral.PixtralConfig(
+        text=tcfg, vision=vcfg,
+        image_token_id=hf_config.get("image_token_index",
+                                     hf_config.get("image_token_id", 10)),
+    )
+    attn = default_attention(attention)
+    decode_attn = default_decode_attention(attention)
+    ps, max_side = vcfg.patch_size, vcfg.max_side
+
+    def apply(params, batch, cache=None, remat=False, cache_mode="extend",
+              lora=None, lora_scale=1.0, tower_remat=None):
+        return pixtral.apply(
+            params, cfg, batch["input_ids"], batch["position_ids"],
+            patch_stream=batch.get("patch_stream"),
+            patch_pos_ids=batch.get("patch_pos_ids"),
+            patch_segments=batch.get("patch_segments"),
+            scatter_rows=batch.get("scatter_rows"),
+            scatter_cols=batch.get("scatter_cols"),
+            segment_ids=batch.get("segment_ids"), cache=cache,
+            cache_mode=cache_mode, decode_attention_fn=decode_attn,
+            lora=lora, lora_scale=lora_scale,
+            precision=precision, attention_fn=attn, remat=remat,
+            tower_remat=tower_remat,
+        )
+
+    def forward(params, batch, remat=True):
+        h, _ = apply(params, batch, remat=remat)
+        return pixtral.logits(params, cfg, h, precision)
+
+    def preprocess_image(pil, min_pixels=None, max_pixels=None):
+        # PixtralImageProcessor: scale to fit longest_edge, round UP to
+        # patch multiples, bicubic, CLIP mean/std
+        from iadr1_tpu.data.mm_plugins import _normalize, _to_array
+
+        h, w = pil.height, pil.width
+        ratio = max(h / vcfg.image_size, w / vcfg.image_size)
+        if ratio > 1:
+            h = math.ceil(h / ratio)
+            w = math.ceil(w / ratio)
+        gh, gw = math.ceil(h / ps), math.ceil(w / ps)
+        arr = _normalize(_to_array(pil, (gh * ps, gw * ps)))
+        patches = anyres.patchify_tiles(arr[None], ps)[0]  # [gh*gw, pd]
+        # seqlen is the (rows, cols) grid: the pixtral expansion is
+        # structured ([IMG] rows + [IMG_BREAK]/[IMG_END]), not a flat run
+        return patches, (gh, gw), (gh, gw)
+
+    def vision_arrays(input_ids, patches_list, grids, patch_budget):
+        B = input_ids.shape[0]
+        stream = np.zeros((patch_budget, vcfg.patch_dim), np.float32)
+        pos = np.zeros(patch_budget, np.int32)
+        segs = np.zeros(patch_budget, np.int32)
+        srows = np.full(patch_budget, B, np.int32)
+        scols = np.zeros(patch_budget, np.int32)
+        rows_idx, cols_idx = np.nonzero(input_ids == cfg.image_token_id)
+        off = tok = 0
+        for i, (p, grid) in enumerate(zip(patches_list, grids)):
+            gh, gw = grid[0], grid[1]
+            n = p.shape[0]
+            if off + n > patch_budget:
+                raise ValueError("patch stream exceeds budget")
+            stream[off : off + n] = p
+            pos[off : off + n] = (
+                np.arange(gh)[:, None] * max_side + np.arange(gw)
+            ).ravel()
+            segs[off : off + n] = i + 1
+            srows[off : off + n] = rows_idx[tok : tok + n]
+            scols[off : off + n] = cols_idx[tok : tok + n]
+            off += n
+            tok += n
+        return {"patch_stream": stream, "patch_pos_ids": pos,
+                "patch_segments": segs,
+                "scatter_rows": srows, "scatter_cols": scols}
+
+    return ModelBundle(
+        family="pixtral", cfg=cfg, multimodal=True,
+        init_params=lambda key, dtype=jnp.float32: pixtral.init_params(key, cfg, dtype),
+        convert_hf=lambda state, dtype=jnp.float32: pixtral.convert_hf(state, cfg, dtype),
+        logical_axes=lambda: pixtral.logical_axes(cfg),
+        forward=forward,
+        apply=apply,
+        logits_fn=lambda params, h: pixtral.logits(params, cfg, h, precision),
+        vision_arrays=vision_arrays,
+        preprocess_image=preprocess_image,
+        template="pixtral",
+    )
+
+
 FAMILY_BUILDERS = {
     "Qwen2ForCausalLM": make_qwen2_bundle,
     "Qwen2MoeForCausalLM": make_qwen2_moe_bundle,
@@ -1198,6 +1321,7 @@ FAMILY_BUILDERS = {
     "internvl": make_internvl_bundle,
     "PaliGemmaForConditionalGeneration": make_paligemma_bundle,
     "paligemma": make_paligemma_bundle,
+    "pixtral": make_pixtral_bundle,
     "qwen2": make_qwen2_bundle,
     "qwen2_vl": make_qwen2_vl_bundle,
     "qwen2_5_vl": make_qwen25_vl_bundle,
